@@ -1,0 +1,102 @@
+"""Skew handling — salted two-level aggregation (SURVEY.md §4 "skew").
+
+The reference has no skew story (Redis shards implicitly); the north
+rule requires explicit handling for Zipf-hot conversations. Two levers:
+
+1. **salted_agg**: for per-key *aggregations*, add salt =
+   pmod(xxhash64(ts-derived), n) so one hot key's rows spread over n
+   reducers; phase-1 partials per (key, salt); phase-2 merge per key.
+   Only mergeable partials (count/sum/min/max + HLL) flow through —
+   identical decomposition to the bucketed window path.
+   NOTE: Spark's hash aggregate already does map-side partials, so
+   salting only pays off when a single *reduce* group is hotter than a
+   task (≫ tens of millions of rows per key) — exactly the 50k-turn
+   Zipf conversations of the north rule combined with per-bucket
+   grouping.
+
+2. **hot key detection**: cheap approximate counts to pick keys above a
+   row-count threshold (drives a broadcast list for plan-time routing).
+
+Window-based ops (as-of, sliding window) need full per-key order and
+cannot be salted; their skew mitigation is the bucketed pre-aggregation
+(shrinks a hot conversation to |buckets| rows before the sort) — see
+``window_agg.sliding_agg_bucketed``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def detect_hot_keys(
+    df: DataFrame, keys: Sequence[str], threshold: int, rsd: float = 0.05
+) -> DataFrame:
+    """Keys whose row count exceeds ``threshold`` (exact groupBy count —
+    itself map-side combined, so safe). Returns a small DataFrame to
+    broadcast."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > threshold)
+        .select(*keys)
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column | str,
+    fns: Sequence[str],
+    n_salts: int = 32,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-level aggregate of ``value`` per key: salt → partials →
+    final merge. ``fns`` ⊆ {count,sum,min,max,avg,approx_distinct_count}
+    (exact distinct is not salt-mergeable without sets; use HLL).
+    ``salt_source``: a column to derive the salt from (deterministic);
+    defaults to a hash of all columns' monotonically increasing id —
+    we use spark_partition_id which is stable within a run.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    salt = (
+        F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
+        if salt_source
+        else F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    need_hll = "approx_distinct_count" in fns
+    partial_aggs = [
+        F.count(v).alias("_p_count"),
+        F.sum(v.cast("double")).alias("_p_sum"),
+        F.min(v.cast("double")).alias("_p_min"),
+        F.max(v.cast("double")).alias("_p_max"),
+    ]
+    if need_hll:
+        partial_aggs.append(F.hll_sketch_agg(v.cast("string")).alias("_p_hll"))
+    partials = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
+
+    final_aggs = []
+    for fn in fns:
+        if fn == "count":
+            final_aggs.append(F.sum("_p_count").cast("double").alias("count"))
+        elif fn == "sum":
+            final_aggs.append(F.sum("_p_sum").cast("double").alias("sum"))
+        elif fn == "min":
+            final_aggs.append(F.min("_p_min").cast("double").alias("min"))
+        elif fn == "max":
+            final_aggs.append(F.max("_p_max").cast("double").alias("max"))
+        elif fn == "avg":
+            final_aggs.append(
+                (F.sum("_p_sum") / F.sum("_p_count")).cast("double").alias("avg")
+            )
+        elif fn == "approx_distinct_count":
+            final_aggs.append(
+                F.hll_sketch_estimate(F.hll_union_agg("_p_hll"))
+                .cast("double")
+                .alias("approx_distinct_count")
+            )
+        else:
+            raise ValueError(f"fn {fn} is not salt-mergeable")
+    return partials.groupBy(*keys).agg(*final_aggs)
