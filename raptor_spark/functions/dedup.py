@@ -1,0 +1,194 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard. Designed for 100 TB corpora:
+
+- **exact**: hash-groupBy on a normalized fingerprint — one shuffle of
+  (hash, id) pairs only (never the text), map-side combined.
+- **MinHash+LSH**: shingle → k md5-derived min-hashes → band → bucket
+  equi-join. All hashing uses md5 (available in both Spark and ANSI-ish
+  SQL engines) so results are engine-independent and oracle-checkable.
+  The only shuffle is the band-bucket groupBy; candidate verification
+  joins docs back by id (broadcast when the candidate set is small).
+- **SimHash**: 32-bit sign-aggregated token hashes; near-dups = equal
+  simhash (or Hamming ≤ k via band rotation, scale path).
+- **n-gram Jaccard**: exact set similarity on candidate pairs only —
+  never all-pairs at scale; here gated by LSH buckets or blocking keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+def _norm(t: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+
+
+def md5_long(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long (engine-portable:
+    DuckDB equivalent is ('0x' || substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct normalized text: representative = min id,
+    plus the duplicate count. Shuffles only (fingerprint, id)."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """n-gram word shingles as an array<string> (distinct)."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(_norm(t), " ")
+    k = F.size(toks) - (n - 1)
+    sh = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array(_norm(t)))
+    return F.array_distinct(sh)
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """character n-gram shingles (distinct)."""
+    t = _norm(F.col(text) if isinstance(text, str) else text)
+    k = F.length(t) - (n - 1)
+    sh = F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(1), k), lambda i: t.substr(i, F.lit(n))),
+    ).otherwise(F.array(t))
+    return F.array_distinct(sh)
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature: for seed i, min over shingles of
+    md5_long(i || ':' || shingle). array<long> of length k."""
+    sigs = []
+    for i in range(k):
+        hashed = F.transform(
+            shingles, lambda s: md5_long(F.concat(F.lit(f"{i}:"), s))
+        )
+        sigs.append(F.array_min(hashed))
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    k hashes split into ``bands`` bands of k/bands rows; docs sharing
+    any band signature become a candidate pair (id_a < id_b, distinct).
+    Returns (id_a, id_b, n_shared_bands).
+    """
+    rows = k // bands
+    sig = minhash_signature(word_shingles(text_col, shingle_n), k)
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    banded = with_sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("_sig")[b * rows + r].cast("string") for r in range(rows)]
+                        ).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bsig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over blocked pairs (block_col bounds the
+    quadratic blow-up; at scale feed LSH candidates instead).
+    Returns (id_a, id_b, jaccard_sim)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_n).alias("_sh"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(jaccard(F.col("a._sh"), F.col("b._sh")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: bit i of the signature = sign of
+    Σ_tokens (bit i of md5_long(token) ? +1 : −1). Near-dup docs get
+    equal/close signatures. Native exprs only."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(F.split(_norm(t), " "))
+    hashes = F.transform(toks, lambda s: md5_long(s))
+    acc = []
+    for i in range(bits):
+        bit_sum = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda a, h: a
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        acc.append(F.when(bit_sum > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0)))
+    out = acc[0]
+    for c in acc[1:]:
+        out = out + c
+    return out

@@ -1,0 +1,126 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting. All are **native Column expressions** (JVM
+codegen, no Python) so they run at full scan speed over a 100 TB
+corpus; every formula is deliberately expressible in ANSI SQL so the
+DuckDB oracle can pin it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (empty/blank text → 0)."""
+    t = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(t)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def char_count(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.length(t)
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    return _ratio(alpha, F.length(t))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    punct = F.length(t) - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
+    return _ratio(punct, F.length(t))
+
+
+def upper_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    upper = F.length(t) - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    return _ratio(upper, F.length(t))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards alphabetic content
+    and reasonable length, penalizes shouting and punctuation walls.
+    Deterministic closed form (SQL-parity): see oracle in queries.py."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t)
+    len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * alpha_ratio(t)
+        + F.lit(0.3) * len_score
+        + F.lit(0.2) * (F.lit(1.0) - upper_ratio(t))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio(t) * 5, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# language heuristic; counts of ' w ' occurrences decide.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+
+def _marker_hits(t: Column, words: list[str]) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        pat = f" {w} "
+        occ = (F.length(padded) - F.length(F.replace(padded, F.lit(pat)))) / F.lit(
+            len(pat)
+        )
+        total = total + occ.cast("int")
+    return total
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-hit language guess over LANG_MARKERS; 'und'
+    (undetermined) when no marker hits. Ties break by fixed language
+    order (en, de, fr, es)."""
+    t = F.col(text) if isinstance(text, str) else text
+    hits = {lang: _marker_hits(t, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # reverse order so earlier languages win ties via later when() wrapping
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            out
+        )
+    return out
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed,
+    trimmed text — stable under formatting noise."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    return F.md5(norm)
+
+
+def text_stats(text_col: str = "text") -> list[Column]:
+    """The standard per-document stat set, aliased for wide output."""
+    t = F.col(text_col)
+    return [
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_computed"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(upper_ratio(t), 6).alias("upper_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    ]

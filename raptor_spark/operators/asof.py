@@ -37,6 +37,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .tsutil import micros
+
 
 def asof_join(
     spine: DataFrame,
@@ -76,7 +78,7 @@ def asof_join(
         F.lit(0).alias("_is_spine"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
         *[
-            F.when(F.col(c).isNotNull(), F.unix_micros(F.col(ts_col)))
+            F.when(F.col(c).isNotNull(), micros(ts_col))
             .alias(f"_vts_{c}")
             for c in value_cols
         ],
@@ -104,7 +106,7 @@ def asof_join(
         filled_ts = F.last(F.col(f"_vts_{c}"), ignorenulls=True).over(w)
         st = staleness_us.get(c, 0)
         if st and st > 0:
-            valid = filled_ts >= F.unix_micros(F.col(ts_col)) - F.lit(st)
+            valid = filled_ts >= micros(ts_col) - F.lit(st)
             filled = F.when(valid, filled)
         out = out.withColumn(c, filled)
     return out.filter(F.col("_is_spine") == 1).select(*spine_cols, *value_cols)

@@ -25,6 +25,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .tsutil import micros
+
 
 def _key_window(keys: Sequence[str], ts_col: str, tiebreak: Optional[str]):
     order = [F.col(ts_col).asc()]
@@ -52,8 +54,8 @@ def with_lags(
     for n in range(1, versions + 1):
         lagged = F.lag(F.col(col), n).over(w)
         if over_us and over_us > 0:
-            lag_ts = F.lag(F.unix_micros(F.col(ts_col)), n).over(w)
-            guard = lag_ts >= F.unix_micros(F.col(ts_col)) - F.lit(n * over_us)
+            lag_ts = F.lag(micros(ts_col), n).over(w)
+            guard = lag_ts >= micros(ts_col) - F.lit(n * over_us)
             lagged = F.when(guard, lagged)
         out = out.withColumn(f"{prefix}_prev{n}", lagged)
     return out
@@ -88,9 +90,9 @@ def with_valid_till(
     """valid_till = least(next ts per key, ts + staleness); NULL next ⇒
     ts + staleness (staleness 0 ⇒ open-ended until next)."""
     w = _key_window(keys, ts_col, tiebreak)
-    nxt = F.lead(F.unix_micros(F.col(ts_col))).over(w)
+    nxt = F.lead(micros(ts_col)).over(w)
     if staleness_us and staleness_us > 0:
-        exp = F.unix_micros(F.col(ts_col)) + F.lit(staleness_us)
+        exp = micros(ts_col) + F.lit(staleness_us)
         v = F.least(F.coalesce(nxt, exp), exp)
     else:
         v = nxt
@@ -108,7 +110,7 @@ def with_freshness_flag(
     at = F.col(asof_ts) if isinstance(asof_ts, str) else asof_ts
     return df.withColumn(
         out_col,
-        (F.unix_micros(at) - F.unix_micros(vt)) < F.lit(freshness_us),
+        (micros(at) - micros(vt)) < F.lit(freshness_us),
     )
 
 

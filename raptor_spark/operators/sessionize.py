@@ -16,6 +16,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .tsutil import micros
+
 
 def sessionize(
     df: DataFrame,
@@ -32,10 +34,10 @@ def sessionize(
     w = W.partitionBy(*keys).orderBy(*order)
     wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
 
-    prev_ts = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev_ts = F.lag(micros(ts_col)).over(w)
     is_break = (
         prev_ts.isNotNull()
-        & ((F.unix_micros(F.col(ts_col)) - prev_ts) > F.lit(gap_us))
+        & ((micros(ts_col) - prev_ts) > F.lit(gap_us))
     ).cast("int")
     out = df.withColumn(idx_col, F.sum(is_break).over(wcum).cast("int"))
     key_str = F.concat_ws(";", *[F.col(k).cast("string") for k in keys])

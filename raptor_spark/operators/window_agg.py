@@ -33,6 +33,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .tsutil import micros
+
 _MERGEABLE = {"count", "sum", "min", "max"}  # avg derived; distinct special
 
 
@@ -46,8 +48,12 @@ def _agg_over(fn: str, value: Column, w) -> Column:
     if fn == "max":
         return F.max(value).over(w).cast("double")
     if fn == "avg":
-        # sum/count decomposition (merge-safe, redis/windows.go:208-215)
-        return (F.sum(value).over(w) / F.count(value).over(w)).cast("double")
+        # sum/count decomposition (merge-safe, redis/windows.go:208-215);
+        # both sides cast to double BEFORE the division so the result is
+        # a single deterministic double op (decimal inputs stay exact)
+        return F.sum(value).over(w).cast("double") / F.count(value).over(w).cast(
+            "double"
+        )
     if fn == "distinct_count":
         return F.size(F.collect_set(value).over(w)).cast("double")
     if fn == "approx_distinct_count":
@@ -76,7 +82,7 @@ def sliding_agg_exact(
     v = F.col(value) if isinstance(value, str) else value
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col(ts_col)))
+        .orderBy(micros(ts_col))
         .rangeBetween(-(over_us - 1), 0)
     )
     out = df
@@ -116,7 +122,7 @@ def bucket_partials(
             aggs.append(F.hll_sketch_agg(v.cast("string")).alias("_p_hll"))
         if "distinct_count" in fns:
             aggs.append(F.collect_set(v).alias("_p_set"))
-    bucket = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(granularity_us)).alias(
+    bucket = F.floor(micros(ts_col) / F.lit(granularity_us)).alias(
         "bucket"
     )
     return df.groupBy(*[F.col(k) for k in keys], bucket).agg(*aggs)
@@ -158,7 +164,7 @@ def merge_buckets(
         elif fn == "max":
             c = F.max("_p_max").over(w).cast("double")
         elif fn == "avg":
-            c = (F.sum("_p_sum").over(w) / cnt).cast("double")
+            c = F.sum("_p_sum").over(w).cast("double") / cnt.cast("double")
         elif fn == "distinct_count":
             c = F.size(
                 F.array_distinct(F.flatten(F.collect_list("_p_set").over(w)))

@@ -32,6 +32,8 @@ from typing import Literal, Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F, Window as W
 
+from ..operators.tsutil import micros
+
 from ..specs import FeatureSetSpec, FeatureSpec
 from .replay import replay_wide
 
@@ -48,9 +50,9 @@ def _lag_feature_values(
     out = fv
     all_cols = list(value_cols)
     for n in range(1, kp.versions + 1):
-        lag_ts = F.lag(F.unix_micros(F.col("ts")), n).over(w)
+        lag_ts = F.lag(micros("ts"), n).over(w)
         guard = (
-            lag_ts >= F.unix_micros(F.col("ts")) - F.lit(n * kp.over_us)
+            lag_ts >= micros("ts") - F.lit(n * kp.over_us)
             if kp.over_us > 0
             else F.lit(True)
         )

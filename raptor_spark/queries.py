@@ -1,0 +1,586 @@
+"""Driver-facing query catalog: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame builder plus a matching DuckDB oracle SQL
+(driver correctness gate, see repo:__spark_entry__.py).
+
+Naming contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL. All order-sensitive float aggregates go
+through DECIMAL(18,2) partial sums (exact) and deterministic
+double division, so Spark and DuckDB agree bit-for-bit after round(6).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, Window as W
+
+from .operators.asof import asof_join
+from .operators.laglead import latest_per_key, with_lags, with_leads, with_valid_till
+from .operators.sessionize import session_bounds, sessionize
+from .operators.window_agg import sliding_agg_bucketed, sliding_agg_exact
+from .functions.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
+from .functions.similarity import brute_force_topk
+from .functions.text import (
+    LANG_MARKERS,
+    lang_id,
+    text_stats,
+)
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- events
+
+def q_pit_asof_join(spark, sf_dir):
+    """J1: backward as-of join, staleness 1h — spine = purchases,
+    feature = last seen `value` of ANY event per user."""
+    ev = _t(spark, sf_dir, "events")
+    fv = ev.select("user_id", "ts", F.col("value").alias("last_value"))
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(spine, fv, ["user_id"], "ts", ["last_value"], staleness_us=HOUR_US)
+
+
+def q_window_count_1h(spark, sf_dir):
+    """A4/A7: trailing 1h event count per user at each event."""
+    ev = _t(spark, sf_dir, "events")
+    return sliding_agg_exact(ev, ["user_id"], "ts", "value", HOUR_US, ["count"]).select(
+        "event_id", "user_id", "ts", F.col("count").alias("cnt_1h")
+    )
+
+
+def q_window_multi_24h(spark, sf_dir):
+    """A1-A3/A7: sum/avg/min/max of value over trailing 24h (DECIMAL
+    partial sums for cross-engine determinism)."""
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_agg_exact(
+        ev, ["user_id"], "ts", F.col("value").cast(DEC), DAY_US,
+        ["sum", "avg", "min", "max"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("sum", 6).alias("sum_24h"),
+        F.round("avg", 6).alias("avg_24h"),
+        F.col("min").alias("min_24h"),
+        F.col("max").alias("max_24h"),
+    )
+
+
+def q_window_distinct_6h(spark, sf_dir):
+    """A5: exact distinct event_type count over trailing 6h."""
+    ev = _t(spark, sf_dir, "events")
+    return sliding_agg_exact(
+        ev, ["user_id"], "ts", "event_type", 6 * HOUR_US, ["distinct_count"]
+    ).select(
+        "event_id", "user_id", "ts", F.col("distinct_count").alias("dcnt_6h")
+    )
+
+
+def q_two_phase_1h_10m(spark, sf_dir):
+    """A8/J3: bucketed two-phase sliding agg (10m partials, 1h window)
+    — one row per (user, bucket), ts = bucket end."""
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_agg_bucketed(
+        ev, ["user_id"], "ts", F.col("value").cast(DEC), HOUR_US, 600_000_000,
+        ["count", "sum"],
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.col("count").alias("cnt_1h"),
+        F.round("sum", 6).alias("sum_1h"),
+    )
+
+
+def q_lag_lead(spark, sf_dir):
+    """W2/W6: per-user prev/next value and prev event_type."""
+    ev = _t(spark, sf_dir, "events")
+    out = with_lags(ev, ["user_id"], "ts", "value", 1)
+    out = with_lags(out, ["user_id"], "ts", "event_type", 1)
+    out = with_leads(out, ["user_id"], "ts", "value", 1)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("value_prev1").alias("prev_value"),
+        F.col("value_next1").alias("next_value"),
+        F.col("event_type_prev1").alias("prev_type"),
+    )
+
+
+def q_keep_previous_age_guard(spark, sf_dir):
+    """W2 with the reference age guard: @-1 over 1h — prev value is
+    NULL when older than ts_latest − 1h (replay.py:256-259)."""
+    ev = _t(spark, sf_dir, "events")
+    out = with_lags(ev, ["user_id"], "ts", "value", 1, over_us=HOUR_US)
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value_prev1").alias("prev_value_1h")
+    )
+
+
+def q_sessionize_30m(spark, sf_dir):
+    """W7: gap sessionization (30m) per user."""
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, ["user_id"], "ts", 30 * 60 * 1_000_000).select(
+        "event_id", "user_id", "ts", "session_idx", "session_id"
+    )
+
+
+def q_session_stats_30m(spark, sf_dir):
+    """W7 + A10: one row per session with bounds and size."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", 30 * 60 * 1_000_000)
+    return session_bounds(s, ["user_id"], "ts")
+
+
+def q_valid_till_1h(spark, sf_dir):
+    """W1: VALID_TILL expiry = least(next event ts, ts + 1h)."""
+    ev = _t(spark, sf_dir, "events")
+    return with_valid_till(ev, ["user_id"], "ts", HOUR_US).select(
+        "event_id", "user_id", "ts", "valid_till"
+    )
+
+
+def q_latest_per_key(spark, sf_dir):
+    """W3: newest event per user."""
+    ev = _t(spark, sf_dir, "events")
+    return latest_per_key(ev, ["user_id"], "ts", tiebreak="event_id").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+
+def q_backfill_wide(spark, sf_dir):
+    """Flagship: PIT training-set assembly — spine = purchase events;
+    features: last click value (staleness 2h), purchase spend sum over
+    24h, event count over 1h — all merged in ONE union-merge pass."""
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    last_click = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("last_click")
+    )
+    spend = (
+        sliding_agg_exact(
+            ev.filter(F.col("event_type") == "purchase"),
+            ["user_id"], "ts", F.col("value").cast(DEC), DAY_US, ["sum"],
+        )
+        .select("user_id", "ts", F.round("sum", 6).alias("spend_24h_sum"))
+    )
+    cnt = sliding_agg_exact(ev, ["user_id"], "ts", "value", HOUR_US, ["count"]).select(
+        "user_id", "ts", F.col("count").alias("events_1h_count")
+    )
+    fv = (
+        last_click.unionByName(spend, allowMissingColumns=True)
+        .unionByName(cnt, allowMissingColumns=True)
+    )
+    return asof_join(
+        spine,
+        fv,
+        ["user_id"],
+        "ts",
+        ["last_click", "spend_24h_sum", "events_1h_count"],
+        staleness_us={
+            "last_click": 2 * HOUR_US,
+            "spend_24h_sum": DAY_US,
+            "events_1h_count": HOUR_US,
+        },
+    )
+
+
+# ------------------------------------------------------------- documents
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id")
+
+
+def q_text_stats(spark, sf_dir):
+    """Token count / char count / ratios / quality / fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *text_stats("text"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-heuristic language ID."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash(16)+LSH(4 bands) candidate near-dup pairs (md5-derived
+    hashes, engine-portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", k=16, bands=4)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram word Jaccard ≥ 0.5 within same-source blocks."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.5, block_col="source"
+    )
+
+
+# ------------------------------------------------------------ embeddings
+
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force exact cosine top-3 for query vectors vec_id < 5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# ----------------------------------------------------------- tpch-style
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style groupBy aggregate (DECIMAL-exact sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1).cast(DEC) - d("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_topk_orders_per_cust(spark, sf_dir):
+    """Top-3 orders by totalprice per customer (window top-k)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pit_asof_join": q_pit_asof_join,
+    "window_count_1h": q_window_count_1h,
+    "window_multi_24h": q_window_multi_24h,
+    "window_distinct_6h": q_window_distinct_6h,
+    "two_phase_1h_10m": q_two_phase_1h_10m,
+    "lag_lead": q_lag_lead,
+    "keep_previous_age_guard": q_keep_previous_age_guard,
+    "sessionize_30m": q_sessionize_30m,
+    "session_stats_30m": q_session_stats_30m,
+    "valid_till_1h": q_valid_till_1h,
+    "latest_per_key": q_latest_per_key,
+    "backfill_wide": q_backfill_wide,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "minhash_lsh": q_minhash_lsh,
+    "ngram_jaccard": q_ngram_jaccard,
+    "knn_cosine": q_knn_cosine,
+    "pricing_summary": q_pricing_summary,
+    "topk_orders_per_cust": q_topk_orders_per_cust,
+}
+
+
+# ------------------------------------------------------------ oracle SQL
+# DuckDB SQL computing the same result on the same parquet views.
+
+_W1H = "PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW"
+_W24 = "PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW"
+_W6H = "PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW"
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def _lang_hits_sql(lang: str) -> str:
+    terms = []
+    for w in LANG_MARKERS[lang]:
+        pat = f" {w} "
+        terms.append(
+            f"CAST((length(padded) - length(replace(padded, '{pat}', ''))) // {len(pat)} AS INT)"
+        )
+    return " + ".join(terms)
+
+
+def _minhash_sql() -> str:
+    k, bands, rows = 16, 4, 4
+    hashes = ", ".join(
+        f"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i}:' || s), 1, 15) AS BIGINT))) AS h{i}"
+        for i in range(k)
+    )
+    band_rows = ", ".join(
+        "({b}, {expr})".format(
+            b=b,
+            expr="concat_ws(','"
+            + "".join(f", CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows))
+            + ")",
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM docs),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+      THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      ELSE [norm] END AS shingles
+  FROM toks),
+sig AS (SELECT doc_id, {hashes} FROM sh),
+banded AS (
+  SELECT doc_id, b.band, b.bsig
+  FROM sig, (VALUES {band_rows}) AS b(band, bsig)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _quality_sql() -> str:
+    alpha = "CASE WHEN length(text)>0 THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END"
+    upper = "CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[A-Z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END"
+    punct = "CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[.,!?;:]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END"
+    lens = "least(CAST(length(text) AS DOUBLE)/500.0, 1.0)"
+    return (
+        f"round(0.4*({alpha}) + 0.3*({lens}) + 0.2*(1.0-({upper}))"
+        f" + 0.1*(1.0-least(({punct})*5, 1.0)), 6)"
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "pit_asof_join": """
+WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT s.event_id, s.user_id, s.ts,
+       CASE WHEN f.ts >= s.ts - INTERVAL 1 HOUR THEN f.value END AS last_value
+FROM spine s ASOF LEFT JOIN events f
+  ON s.user_id = f.user_id AND f.ts <= s.ts
+""",
+    "window_count_1h": f"""
+SELECT event_id, user_id, ts,
+       CAST(count(value) OVER ({_W1H}) AS DOUBLE) AS cnt_1h
+FROM events
+""",
+    "window_multi_24h": f"""
+SELECT event_id, user_id, ts,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ({_W24}) AS DOUBLE), 6) AS sum_24h,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ({_W24}) AS DOUBLE)
+        / CAST(count(value) OVER ({_W24}) AS DOUBLE), 6) AS avg_24h,
+  CAST(min(CAST(value AS DECIMAL(18,2))) OVER ({_W24}) AS DOUBLE) AS min_24h,
+  CAST(max(CAST(value AS DECIMAL(18,2))) OVER ({_W24}) AS DOUBLE) AS max_24h
+FROM events
+""",
+    "window_distinct_6h": f"""
+SELECT event_id, user_id, ts,
+       CAST(count(DISTINCT event_type) OVER ({_W6H}) AS DOUBLE) AS dcnt_6h
+FROM events
+""",
+    "two_phase_1h_10m": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 600000000 AS bucket,
+         count(value) AS c, sum(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+  make_timestamp((bucket + 1) * 600000000) AS ts,
+  CAST(sum(c) OVER w AS DOUBLE) AS cnt_1h,
+  round(CAST(sum(s) OVER w AS DOUBLE), 6) AS sum_1h
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+""",
+    "lag_lead": """
+SELECT event_id, user_id, ts,
+  lag(value) OVER w AS prev_value,
+  lead(value) OVER w AS next_value,
+  lag(event_type) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
+    "keep_previous_age_guard": """
+SELECT event_id, user_id, ts,
+  CASE WHEN epoch_us(lag(ts) OVER w) >= epoch_us(ts) - 3600000000
+       THEN lag(value) OVER w END AS prev_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
+    "sessionize_30m": """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+         ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT event_id, user_id, ts,
+    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+  FROM g
+)
+SELECT event_id, user_id, ts, session_idx,
+       CAST(user_id AS VARCHAR) || '#' || CAST(session_idx AS VARCHAR) AS session_id
+FROM s
+""",
+    "session_stats_30m": """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+         ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY 1, 2
+""",
+    "valid_till_1h": """
+SELECT event_id, user_id, ts,
+  least(coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                 ts + INTERVAL 1 HOUR),
+        ts + INTERVAL 1 HOUR) AS valid_till
+FROM events
+""",
+    "latest_per_key": """
+SELECT user_id, event_id, ts, value FROM (
+  SELECT user_id, event_id, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    "backfill_wide": """
+WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+last_click AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+spend AS (
+  SELECT user_id, ts,
+    round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+      (PARTITION BY user_id ORDER BY epoch_us(ts)
+       RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS spend_24h_sum
+  FROM events WHERE event_type = 'purchase'),
+cnt AS (
+  SELECT user_id, ts,
+    CAST(count(value) OVER
+      (PARTITION BY user_id ORDER BY epoch_us(ts)
+       RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS DOUBLE) AS events_1h_count
+  FROM events)
+SELECT s.event_id, s.user_id, s.ts,
+  CASE WHEN lc.ts >= s.ts - INTERVAL 2 HOUR THEN lc.value END AS last_click,
+  CASE WHEN sp.ts >= s.ts - INTERVAL 24 HOUR THEN sp.spend_24h_sum END AS spend_24h_sum,
+  CASE WHEN c.ts >= s.ts - INTERVAL 1 HOUR THEN c.events_1h_count END AS events_1h_count
+FROM spine s
+ASOF LEFT JOIN last_click lc ON s.user_id = lc.user_id AND lc.ts <= s.ts
+ASOF LEFT JOIN spend sp ON s.user_id = sp.user_id AND sp.ts <= s.ts
+ASOF LEFT JOIN cnt c ON s.user_id = c.user_id AND c.ts <= s.ts
+""",
+    "dedup_exact": f"""
+SELECT md5({_NORM}) AS fp, min(doc_id) AS rep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+    "text_stats": f"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+  length(text) AS n_chars_computed,
+  round(CASE WHEN length(text)>0 THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END, 6) AS alpha_ratio,
+  round(CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[.,!?;:]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[A-Z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END, 6) AS upper_ratio,
+  {_quality_sql()} AS quality,
+  md5({_NORM}) AS fingerprint
+FROM documents
+""",
+    "lang_id": f"""
+WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+h AS (SELECT doc_id,
+  {_lang_hits_sql('en')} AS h_en,
+  {_lang_hits_sql('de')} AS h_de,
+  {_lang_hits_sql('fr')} AS h_fr,
+  {_lang_hits_sql('es')} AS h_es
+FROM p)
+SELECT doc_id,
+  CASE
+    WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+    WHEN h_de > 0 AND h_de >= h_fr AND h_de >= h_es AND h_de >= h_en THEN 'de'
+    WHEN h_fr > 0 AND h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+    WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+    ELSE 'und' END AS lang_guess
+FROM h
+""",
+    "minhash_lsh": _minhash_sql(),
+    "ngram_jaccard": f"""
+WITH docs AS (SELECT doc_id, source, {_NORM} AS norm FROM documents),
+toks AS (SELECT doc_id, source, norm, string_split(norm, ' ') AS w FROM docs),
+sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(w) >= 3
+      THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      ELSE [norm] END AS shingles
+  FROM toks)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard_sim
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+""",
+    "knn_cosine": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(list_zip(q.qv, c.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.qv, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+    6) AS cos_sim
+  FROM embeddings c, q WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "topk_orders_per_cust": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  CAST(row_number() OVER (PARTITION BY o_custkey
+       ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+FROM orders
+QUALIFY rk <= 3
+""",
+}
