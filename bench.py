@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ..., "rows": {...},
+     "backfill_turns_per_sec": ...}
+
+Execution is forced with a count over the full result (every column
+materialized via a cheap checksum projection so lazy column pruning
+cannot skip work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from raptor_spark.session import get_spark
+from raptor_spark.queries import QUERIES
+
+# Headline set: flagship backfill + each operator family at sf0.1.
+HEADLINE = [
+    "backfill_wide",        # PIT as-of merge of 3 features (flagship)
+    "pit_asof_join",        # J1 single-feature as-of
+    "window_multi_24h",     # A1-A3 exact sliding window
+    "window_distinct_6h",   # A5 exact distinct window
+    "two_phase_1h_10m",     # A8 bucketed two-phase (scale path)
+    "lag_lead",             # W2/W6
+    "sessionize_30m",       # W7
+    "session_stats_30m",    # W7 + bounds agg
+    "latest_per_key",       # W3
+    "dedup_exact",          # exact dedup
+    "text_stats",           # quality/token/fingerprint
+    "lang_id",              # n-gram language ID
+    "minhash_lsh",          # MinHash+LSH near-dup
+    "knn_cosine",           # brute-force ANN baseline
+    "pricing_summary",      # TPC-H Q1-style agg
+    "topk_orders_per_cust", # window top-k
+]
+
+
+def _force(df) -> int:
+    """Materialize every output column: xxhash over all columns, then
+    count — keeps the full projection alive through the agg."""
+    return df.select(F.xxhash64(*df.columns).alias("h")).count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+    names = [n for n in HEADLINE if only is None or n in only]
+
+    spark = get_spark(app="raptor_spark_bench")
+    try:
+        # JVM/codegen warmup on the tiny sf so first-query time is real work.
+        QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001").count()
+
+        times: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            rows[name] = _force(QUERIES[name](spark, sf_dir))
+            times[name] = round(time.perf_counter() - t0, 3)
+
+        total = round(sum(times.values()), 3)
+        n_ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        thr = round(n_ev / times["backfill_wide"], 1) if "backfill_wide" in times else None
+        out = {
+            "metric": "headline query wall-time (backfill + asof + windows + dedup + ann)",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "rows": rows,
+            "backfill_turns_per_sec": thr,
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

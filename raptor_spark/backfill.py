@@ -1,0 +1,274 @@
+"""Checkpoint-resumable PIT backfill driver (north rule).
+
+Shards the entity-key space by ``pmod(xxhash64(key), n_shards)`` and
+runs the full historical feature plan (``plans.historical.get_historical``)
+shard-by-shard, committing each shard's output parquet + a lineage
+record before moving on. A killed run resumes by skipping committed
+shards — output is byte-stable because sharding is deterministic on the
+key and every feature window is contained within one key (a
+conversation never spans shards).
+
+Reference parity: the reference's historian commits per-bucket parquet
+files and dedupes re-handled buckets via a TTL cache
+(``/root/reference/internal/historian/write.go:26-49``,
+``collect.go:108-119``); our shard manifest plays that role, with the
+plan-hash guarding against resuming across a changed feature plan
+(analog of the program checksum cache, ``runtime/svc.py:55-64``).
+
+Lineage record per shard (JSON, atomically renamed into place):
+``{shard, input_rows, output_rows, wall_s, plan_hash, status}`` —
+the per-partition row-count/latency metrics the north rule requires.
+
+Run via spark-submit (``--py-files raptor_spark.zip``)::
+
+    spark-submit --master local[32] --py-files raptor_spark.zip \
+        -m raptor_spark.backfill -- --n-convs 5000 --out /tmp/bf
+
+or ``python -m raptor_spark.backfill --n-convs 5000 --out /tmp/bf``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.historical import get_historical
+from .specs import FeatureSetSpec, feature
+
+
+# ------------------------------------------------------------ lineage io
+
+def _lineage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def _shard_record_path(out_dir: str, shard: int) -> str:
+    return os.path.join(_lineage_dir(out_dir), f"shard-{shard:05d}.json")
+
+
+def _write_atomic(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)  # atomic on POSIX → commit point
+
+
+def plan_hash(fs: FeatureSetSpec, n_shards: int, source_id: str) -> str:
+    """Checkpoint identity: feature plan + sharding + source. Changing
+    any of these invalidates prior shard commits."""
+    spec_repr = repr([(f.name, f.keys, str(f.expr), f.timestamp_col,
+                       f.staleness_us, f.aggr, f.keep_previous, f.filter)
+                      for f in fs.features])
+    h = hashlib.sha256(
+        f"{spec_repr}|{fs.key_feature}|{n_shards}|{source_id}".encode()
+    )
+    return h.hexdigest()[:16]
+
+
+def committed_shards(out_dir: str, phash: str) -> set[int]:
+    d = _lineage_dir(out_dir)
+    done: set[int] = set()
+    if not os.path.isdir(d):
+        return done
+    for name in os.listdir(d):
+        if not name.startswith("shard-") or not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                rec = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue  # torn write from a killed run → recompute
+        if rec.get("status") == "committed" and rec.get("plan_hash") == phash:
+            done.add(int(rec["shard"]))
+    return done
+
+
+# -------------------------------------------------------------- driver
+
+@dataclass
+class BackfillResult:
+    out_dir: str
+    plan_hash: str
+    shards_total: int
+    shards_run: int
+    shards_skipped: int
+    input_rows: int      # rows processed in THIS run (skipped excluded)
+    output_rows: int
+    wall_s: float
+
+    @property
+    def throughput(self) -> float:
+        return self.input_rows / self.wall_s if self.wall_s > 0 else 0.0
+
+
+def backfill(
+    spark: SparkSession,
+    source: DataFrame,
+    fs: FeatureSetSpec,
+    out_dir: str,
+    n_shards: int = 16,
+    shard_key: Optional[str] = None,
+    resume: bool = True,
+    source_id: str = "source",
+    mode: str = "exact",
+    fail_after_shard: Optional[int] = None,
+) -> BackfillResult:
+    """Run the historical plan shard-wise with per-shard commit.
+
+    shard_key defaults to the key feature's first key column. Each shard
+    filters the SOURCE on ``pmod(xxhash64(key), n_shards) == k`` — a
+    predicate Spark pushes into the scan — so window/as-of state for a
+    key lives entirely inside its shard.
+
+    fail_after_shard: test hook — raise after committing shard k to
+    simulate a killed run (resume covered by tests).
+    """
+    key = shard_key or fs.resolve_key_feature().keys[0]
+    phash = plan_hash(fs, n_shards, source_id)
+    os.makedirs(_lineage_dir(out_dir), exist_ok=True)
+
+    done = committed_shards(out_dir, phash) if resume else set()
+    t_run = time.perf_counter()
+    in_rows = out_rows = 0
+    ran = 0
+
+    shard_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
+    for k in range(n_shards):
+        if k in done:
+            continue
+        t0 = time.perf_counter()
+        src_k = source.filter(shard_expr == k)
+        n_in = src_k.count()
+        out = get_historical(src_k, fs, mode=mode)
+        data_path = os.path.join(out_dir, "data", f"shard={k:05d}")
+        out.write.mode("overwrite").parquet(data_path)
+        n_out = (
+            spark.read.parquet(data_path).count() if n_in else out.count()
+        )
+        wall = time.perf_counter() - t0
+        _write_atomic(
+            _shard_record_path(out_dir, k),
+            {
+                "shard": k,
+                "input_rows": n_in,
+                "output_rows": n_out,
+                "wall_s": round(wall, 3),
+                "plan_hash": phash,
+                "status": "committed",
+                "data_path": data_path,
+            },
+        )
+        ran += 1
+        in_rows += n_in
+        out_rows += n_out
+        if fail_after_shard is not None and k >= fail_after_shard:
+            raise RuntimeError(f"injected failure after shard {k}")
+
+    wall_s = time.perf_counter() - t_run
+    res = BackfillResult(
+        out_dir=out_dir,
+        plan_hash=phash,
+        shards_total=n_shards,
+        shards_run=ran,
+        shards_skipped=len(done),
+        input_rows=in_rows,
+        output_rows=out_rows,
+        wall_s=round(wall_s, 3),
+    )
+    _write_atomic(
+        os.path.join(_lineage_dir(out_dir), "_manifest.json"),
+        {
+            "plan_hash": phash,
+            "n_shards": n_shards,
+            "shards_run": ran,
+            "shards_skipped": len(done),
+            "input_rows": in_rows,
+            "output_rows": out_rows,
+            "wall_s": res.wall_s,
+            "throughput_rows_per_s": round(res.throughput, 1),
+        },
+    )
+    return res
+
+
+def read_backfill(
+    spark: SparkSession, out_dir: str, with_shard: bool = False
+) -> DataFrame:
+    """Read the committed backfill output. ``shard`` is a hive partition
+    column of the layout (usable for pruning); hidden by default so the
+    schema matches the logical plan's."""
+    df = spark.read.parquet(os.path.join(out_dir, "data"))
+    return df if with_shard else df.drop("shard")
+
+
+# ----------------------------------------- flagship transcript features
+
+def transcript_feature_set() -> FeatureSetSpec:
+    """The north-rule flagship plan over the transcript table
+    (conv_id, turn_idx, role, text, tool, ts): per-turn PIT vector of
+    projection + windowed + lagged features."""
+    return FeatureSetSpec(
+        features=[
+            feature("turn_len", "conv_id", "cast(length(text) as double)",
+                    staleness="1h", keep_previous=(2, "1h")),
+            feature("turns_10m", "conv_id", "1", aggr=["count"], over="10m"),
+            feature("tool_calls_1h", "conv_id", "1", aggr=["count"],
+                    over="1h", filter="role = 'tool'"),
+            feature("turn_len_stats_30m", "conv_id",
+                    "cast(length(text) as double)",
+                    aggr=["avg", "max"], over="30m"),
+        ],
+        key_feature="turn_len",
+    )
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    from .session import get_spark
+    from .sources.transcripts import transcripts
+
+    p = argparse.ArgumentParser(description="PIT backfill over transcripts")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-convs", type=int, default=2000)
+    p.add_argument("--shards", type=int, default=16)
+    p.add_argument("--master", default=None)
+    p.add_argument("--mode", choices=["exact", "bucketed"], default="exact")
+    p.add_argument("--skew", action="store_true")
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app="raptor_backfill", master=args.master)
+    try:
+        src = transcripts(spark, n_convs=args.n_convs, skew=args.skew)
+        res = backfill(
+            spark,
+            src,
+            transcript_feature_set(),
+            args.out,
+            n_shards=args.shards,
+            resume=not args.no_resume,
+            source_id=f"transcripts:{args.n_convs}:{args.skew}",
+            mode=args.mode,
+        )
+        print(json.dumps({
+            "out": res.out_dir,
+            "shards_run": res.shards_run,
+            "shards_skipped": res.shards_skipped,
+            "input_rows": res.input_rows,
+            "output_rows": res.output_rows,
+            "wall_s": res.wall_s,
+            "turns_per_sec": round(res.throughput, 1),
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

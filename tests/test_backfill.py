@@ -1,0 +1,76 @@
+"""Backfill driver: per-shard lineage, injected-failure resume, and
+equivalence with the one-shot historical plan."""
+
+import json
+import os
+
+import pytest
+
+from raptor_spark.backfill import (
+    backfill,
+    committed_shards,
+    plan_hash,
+    read_backfill,
+    transcript_feature_set,
+)
+from raptor_spark.plans.historical import get_historical
+from raptor_spark.sources.transcripts import transcripts
+
+N_CONVS = 40
+N_SHARDS = 6
+
+
+def _collect_sorted(df):
+    cols = sorted(df.columns)
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return transcripts(spark, n_convs=N_CONVS).cache()
+
+
+def test_backfill_matches_oneshot(spark, src, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bf_full"))
+    fs = transcript_feature_set()
+    res = backfill(spark, src, fs, out, n_shards=N_SHARDS, source_id="t")
+    assert res.shards_run == N_SHARDS and res.shards_skipped == 0
+    got = _collect_sorted(read_backfill(spark, out))
+    want = _collect_sorted(get_historical(src, fs))
+    assert got == want
+    # lineage: every shard committed, rows add up
+    recs = [
+        json.loads(open(os.path.join(out, "_lineage", f)).read())
+        for f in sorted(os.listdir(os.path.join(out, "_lineage")))
+        if f.startswith("shard-")
+    ]
+    assert len(recs) == N_SHARDS
+    assert all(r["status"] == "committed" for r in recs)
+    assert sum(r["input_rows"] for r in recs) == src.count()
+    assert sum(r["output_rows"] for r in recs) == len(got)
+
+
+def test_backfill_resume_after_failure(spark, src, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bf_resume"))
+    fs = transcript_feature_set()
+    with pytest.raises(RuntimeError, match="injected failure"):
+        backfill(spark, src, fs, out, n_shards=N_SHARDS, source_id="t",
+                 fail_after_shard=2)
+    ph = plan_hash(fs, N_SHARDS, "t")
+    done = committed_shards(out, ph)
+    assert done == {0, 1, 2}
+    # resume: only remaining shards run; result identical to one-shot
+    res = backfill(spark, src, fs, out, n_shards=N_SHARDS, source_id="t")
+    assert res.shards_skipped == 3 and res.shards_run == N_SHARDS - 3
+    got = _collect_sorted(read_backfill(spark, out))
+    want = _collect_sorted(get_historical(src, fs))
+    assert got == want
+
+
+def test_backfill_plan_change_invalidates(spark, src, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bf_inval"))
+    fs = transcript_feature_set()
+    backfill(spark, src, fs, out, n_shards=2, source_id="t")
+    # different source_id → different plan hash → full recompute
+    res = backfill(spark, src, fs, out, n_shards=2, source_id="t2")
+    assert res.shards_skipped == 0 and res.shards_run == 2
