@@ -41,7 +41,12 @@ HEADLINE = [
     "text_stats",           # quality/token/fingerprint
     "lang_id",              # n-gram language ID
     "minhash_lsh",          # MinHash+LSH near-dup
+    "simhash_dedup",        # SimHash near-dup groups
+    "token_freq",           # BPE-ish tokenize + corpus top-k
+    "media_features",       # multimodal mapInPandas plumbing
     "knn_cosine",           # brute-force ANN baseline
+    "embedding_neardup",    # LSH-blocked cosine near-dup
+    "ann_lsh",              # bucketed approximate top-k
     "pricing_summary",      # TPC-H Q1-style agg
     "topk_orders_per_cust", # window top-k
 ]

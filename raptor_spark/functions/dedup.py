@@ -73,15 +73,36 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
     return F.array_distinct(sh)
 
 
-def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """k-permutation MinHash signature: for seed i, min over shingles of
-    md5_long(i || ':' || shingle). array<long> of length k."""
-    sigs = []
+# MinHash permutation constants: perm_i(h) = (a_i*h + b_i) mod P over
+# h = md5_long(shingle) mod 2^30. P < 2^30 keeps a_i*h < 2^60 (no
+# bigint overflow under ANSI mode, same arithmetic in any SQL engine).
+MINHASH_P = 1_073_741_789  # largest prime < 2^30
+MINHASH_H_MOD = 1 << 30
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    out = []
     for i in range(k):
-        hashed = F.transform(
-            shingles, lambda s: md5_long(F.concat(F.lit(f"{i}:"), s))
+        a = (0x9E3779B1 * (i + 1)) % MINHASH_P or 1
+        b = (0x85EBCA77 * (i + 1)) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature as array<long>.
+
+    Each shingle is md5-hashed ONCE (the expensive step); the k
+    permutations are linear congruential transforms of that hash —
+    k ways cheaper than k independent md5 passes, and portable to any
+    engine with md5 + bigint arithmetic."""
+    hashes = F.transform(shingles, lambda s: md5_long(s) % MINHASH_H_MOD)
+    sigs = [
+        F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
         )
-        sigs.append(F.array_min(hashed))
+        for a, b in minhash_coeffs(k)
+    ]
     return F.array(*sigs)
 
 
@@ -100,9 +121,34 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, n_shared_bands).
     """
     rows = k // bands
-    sig = minhash_signature(word_shingles(text_col, shingle_n), k)
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    banded = with_sig.select(
+    # staged selects: shingle → md5-hash (expensive, once per shingle)
+    # → signature (cheap arithmetic). Kept as separate projections so
+    # the expensive arrays are evaluated once per row (CollapseProject
+    # refuses to inline non-cheap exprs referenced multiple times).
+    # Heavy per-row compute → spread rows across the cluster first
+    # (a freshly-scanned small table may be a single input split).
+    sh = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_n).alias("_sh"),
+    )
+    hashed = sh.select(
+        "_id",
+        F.transform("_sh", lambda s: md5_long(s) % MINHASH_H_MOD).alias("_h"),
+    )
+    sig = hashed.select(
+        "_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "_h", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+                    )
+                )
+                for a, b in minhash_coeffs(k)
+            ]
+        ).alias("_sig"),
+    )
+    banded = sig.select(
         "_id",
         F.explode(
             F.array(
@@ -118,19 +164,29 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bsig")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    # bucket-collect instead of a self-join: ONE shuffle on the band
+    # signature, signatures computed once, pairs emitted locally per
+    # bucket (each doc appears at most once per bucket). At scale, cap
+    # pathological buckets upstream (e.g. drop buckets > ~1e4 docs —
+    # they are exact-dup clusters better handled by exact_dedup).
+    buckets = (
+        banded.groupBy("band", "bsig")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    return pairs
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -172,13 +228,25 @@ def ngram_jaccard_pairs(
     )
 
 
+def token_hashes(text: Column | str) -> Column:
+    """md5_long of each distinct whitespace token — the expensive stage
+    of simhash; materialize this ONCE (own select) before fanning out
+    into per-bit aggregates."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(F.split(_norm(t), " "))
+    return F.transform(toks, lambda s: md5_long(s))
+
+
 def simhash(text: Column | str, bits: int = 32) -> Column:
     """SimHash over whitespace tokens: bit i of the signature = sign of
     Σ_tokens (bit i of md5_long(token) ? +1 : −1). Near-dup docs get
-    equal/close signatures. Native exprs only."""
-    t = F.col(text) if isinstance(text, str) else text
-    toks = F.array_distinct(F.split(_norm(t), " "))
-    hashes = F.transform(toks, lambda s: md5_long(s))
+    equal/close signatures. Native exprs only. For hot paths prefer
+    ``simhash_from_hashes`` over a pre-materialized ``token_hashes``
+    column (one md5 pass instead of ``bits``)."""
+    return simhash_from_hashes(token_hashes(text), bits)
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
     acc = []
     for i in range(bits):
         bit_sum = F.aggregate(

@@ -1,0 +1,138 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media ride through the engine as opaque ``binary`` payloads plus typed
+metadata — the layout every large multimodal pipeline uses (payload is
+never parsed by Catalyst; metadata columns carry the prunable facts).
+Decode / feature-extraction runs as **Arrow-batched pandas iterators**
+(``mapInPandas``) so the per-item Python cost is amortized over
+columnar batches and executors stream batches without materializing a
+partition in memory.
+
+The actual codec work (JPEG decode, resampling, frame sampling) needs
+libraries not present in this container — those steps are STUBBED:
+``decode_image`` raises ``NotImplementedError`` unless a deterministic
+fake decoder is requested. Everything Spark-side — schema, batch
+iteration, partitioning, output shape — is real and tested.
+
+Media schema::
+
+    media_id: long, media_type: string ('image'|'audio'|'video'),
+    payload: binary, meta: struct<width:int, height:int, duration_ms:int>
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Deterministic fake media over any text table: payload = utf-8
+    bytes of the text, type cycles image/audio/video, metadata derived
+    arithmetically. Gives the multimodal path real binary columns
+    without shipping actual codecs into the warehouse."""
+    mid = F.col(id_col).cast("long")
+    n = F.length(F.col(text_col))
+    return df.select(
+        mid.alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (mid % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            (n % 640 + 1).cast("int").alias("width"),
+            (n % 480 + 1).cast("int").alias("height"),
+            (n * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real codec decode — not available in this container."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv, not present; use "
+        "fake_feature_batch (deterministic stand-in) for plumbing tests"
+    )
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for an embedding extractor: md5-seeded
+    floats in [0,1). Same shape/dtype/batching as a real model."""
+    out = []
+    h = b""
+    while len(out) < dim:
+        h = hashlib.md5(h + payload[:64]).digest()
+        out.extend(b / 255.0 for b in h)
+    return out[:dim]
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction over the media table.
+
+    Batches arrive as pandas DataFrames (Arrow transfer); each yields
+    one output frame — the engine-side pattern a real decode/featurize
+    stage uses (swap ``_fake_feature`` for the model)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "digest": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "feature": payloads.map(
+                        lambda b: _fake_feature(bytes(b), dim)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -100,6 +100,40 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return sig
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: only pairs
+    whose random-hyperplane signatures are EQUAL are scored (one
+    equi-join shuffle on the bucket id — never all-pairs), then exact
+    cosine filters at ``threshold``. Returns (id_a, id_b, cos_sim).
+
+    At 10⁹+ rows this is the standard near-dup recipe: equal-signature
+    blocking keeps candidate counts ~linear; raise n_planes to shrink
+    buckets, run multiple plane-sets for recall."""
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -19,8 +19,18 @@ from .operators.asof import asof_join
 from .operators.laglead import latest_per_key, with_lags, with_leads, with_valid_till
 from .operators.sessionize import session_bounds, sessionize
 from .operators.window_agg import sliding_agg_bucketed, sliding_agg_exact
-from .functions.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
-from .functions.similarity import brute_force_topk
+from .functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_from_hashes,
+    token_hashes,
+)
+from .functions.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_bucket_topk,
+)
 from .functions.text import (
     LANG_MARKERS,
     lang_id,
@@ -232,6 +242,57 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash(32) dedup groups: one row per signature with the
+    representative doc and group size. Staged selects keep the md5
+    token-hash pass single-evaluation."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select("doc_id", token_hashes("text").alias("_h"))
+    sig = h.select("doc_id", simhash_from_hashes(F.col("_h")).alias("simhash"))
+    return sig.groupBy("simhash").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def q_token_freq(spark, sf_dir):
+    """BPE-ish regex pre-tokenization + corpus-level top-20 token
+    frequencies (letters runs | digit runs | single symbols)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0)
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthesize binary media payloads from the
+    documents table, run the Arrow-batched mapInPandas feature
+    extractor, project scalar outputs (fake decoder is deterministic
+    and SQL-reproducible, so the Python batch path is oracle-checked)."""
+    from .functions.multimodal import extract_features, synthesize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id")
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "digest",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
 # ------------------------------------------------------------ embeddings
 
 def q_knn_cosine(spark, sf_dir):
@@ -239,6 +300,27 @@ def q_knn_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-signature-blocked (8
+    hyperplanes), exact cosine >= 0.3. (Synthetic vectors have no true
+    near-dups — max pairwise cos ~0.51 — so the demo threshold is low;
+    production uses 0.9+.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, dim=64, threshold=0.3)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate top-3 neighbors via random-hyperplane LSH buckets
+    (8 planes, 3 one-bit probes) for query vectors vec_id < 5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucket_topk(
+        emb, queries, dim=64, k=3, n_planes=8, n_probes=3
+    ).select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     )
 
@@ -294,7 +376,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
+    "simhash_dedup": q_simhash_dedup,
+    "token_freq": q_token_freq,
+    "media_features": q_media_features,
     "knn_cosine": q_knn_cosine,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh": q_ann_lsh,
     "pricing_summary": q_pricing_summary,
     "topk_orders_per_cust": q_topk_orders_per_cust,
 }
@@ -321,10 +408,12 @@ def _lang_hits_sql(lang: str) -> str:
 
 
 def _minhash_sql() -> str:
+    from .functions.dedup import MINHASH_H_MOD, MINHASH_P, minhash_coeffs
+
     k, bands, rows = 16, 4, 4
     hashes = ", ".join(
-        f"list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i}:' || s), 1, 15) AS BIGINT))) AS h{i}"
-        for i in range(k)
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MINHASH_P})) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(k))
     )
     band_rows = ", ".join(
         "({b}, {expr})".format(
@@ -345,7 +434,12 @@ sh AS (
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       ELSE [norm] END AS shingles
   FROM toks),
-sig AS (SELECT doc_id, {hashes} FROM sh),
+hs AS (
+  SELECT doc_id,
+    list_transform(shingles,
+      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {MINHASH_H_MOD}) AS h
+  FROM sh),
+sig AS (SELECT doc_id, {hashes} FROM hs),
 banded AS (
   SELECT doc_id, b.band, b.bsig
   FROM sig, (VALUES {band_rows}) AS b(band, bsig)
@@ -354,6 +448,93 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+
+def _simhash_sql() -> str:
+    """32-bit simhash over distinct whitespace tokens, mirroring
+    functions.dedup.simhash bit-for-bit."""
+    bits = []
+    for i in range(32):
+        bit = (
+            f"CASE WHEN list_sum(list_transform(hs, h -> "
+            f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+        bits.append(bit)
+    sig = " + ".join(bits)
+    return f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+toks AS (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS w FROM docs),
+hsh AS (SELECT doc_id,
+  list_transform(w, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+  FROM toks),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM hsh)
+SELECT simhash, min(doc_id) AS rep_id, count(*) AS n_docs
+FROM sig GROUP BY 1
+"""
+
+
+def _plane_proj_sql(plane: int, dim: int, vec: str = "embedding") -> str:
+    from .functions.similarity import _plane_coeff
+
+    coeff = ", ".join(repr(c) for c in _plane_coeff(plane, dim))
+    return (
+        f"list_sum(list_transform(list_zip({vec}, [{coeff}]), "
+        f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+    )
+
+
+def _lsh_sig_sql(dim: int, n_planes: int, vec: str = "embedding") -> str:
+    terms = [
+        f"CASE WHEN {_plane_proj_sql(p, dim, vec)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(n_planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_COS_SQL = """round(
+      list_sum(list_transform(list_zip({a}, {b}),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
+    6)"""
+
+
+def _embedding_neardup_sql() -> str:
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_lsh_sig_sql(64, 8)} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.3
+"""
+
+
+def _ann_lsh_sql() -> str:
+    cos = _COS_SQL.format(a="c.qv", b="s.embedding")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_lsh_sig_sql(64, 8)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qsig
+      FROM sigs WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv,
+         unnest([qsig, xor(qsig, 1), xor(qsig, 2), xor(qsig, 4)]) AS bucket
+  FROM q),
+cand AS (
+  SELECT c.query_id, c.qv, s.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM probes c JOIN sigs s ON c.bucket = s.bucket
+  WHERE s.vec_id != c.query_id),
+dedup AS (
+  SELECT query_id, neighbor_id, max(cos_sim) AS cos_sim
+  FROM cand GROUP BY 1, 2)
+SELECT query_id, neighbor_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM dedup
+QUALIFY rank <= 3
 """
 
 
@@ -531,6 +712,28 @@ SELECT doc_id,
 FROM h
 """,
     "minhash_lsh": _minhash_sql(),
+    "simhash_dedup": _simhash_sql(),
+    "token_freq": f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+  FROM documents),
+counts AS (SELECT token, count(*) AS n FROM toks GROUP BY 1)
+SELECT token, n,
+  CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+FROM counts
+QUALIFY rank <= 20
+""",
+    "media_features": """
+SELECT doc_id AS media_id,
+  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+  octet_length(encode(text)) AS n_bytes,
+  md5(text) AS digest,
+  round(CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 2)) AS INT)
+        / 255.0, 6) AS f0
+FROM documents
+""",
+    "embedding_neardup": _embedding_neardup_sql(),
+    "ann_lsh": _ann_lsh_sql(),
     "ngram_jaccard": f"""
 WITH docs AS (SELECT doc_id, source, {_NORM} AS norm FROM documents),
 toks AS (SELECT doc_id, source, norm, string_split(norm, ' ') AS w FROM docs),

