@@ -53,9 +53,15 @@ HEADLINE = [
 
 
 def _force(df) -> int:
-    """Materialize every output column: xxhash over all columns, then
-    count — keeps the full projection alive through the agg."""
-    return df.select(F.xxhash64(*df.columns).alias("h")).count()
+    """Materialize every output column. NOTE: ``select(hash).count()``
+    is NOT enough — count() lets Catalyst prune the projection (row
+    count is projection-independent). An aggregate OVER the hash is
+    unpruneable; bit_xor avoids ANSI bigint-sum overflow."""
+    row = df.agg(
+        F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return row["n"]
 
 
 def main() -> None:

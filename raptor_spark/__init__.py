@@ -13,13 +13,30 @@ from .selector import Selector, parse_selector
 from .session import get_spark
 from .specs import AggrSpec, FeatureSetSpec, FeatureSpec, KeepPreviousSpec, feature
 
+
+def get_historical(*args, **kwargs):
+    """PIT training-set assembly (lazy import; see plans.historical)."""
+    from .plans.historical import get_historical as _gh
+
+    return _gh(*args, **kwargs)
+
+
+def backfill(*args, **kwargs):
+    """Checkpoint-resumable sharded backfill (see backfill module)."""
+    from .backfill import backfill as _bf
+
+    return _bf(*args, **kwargs)
+
+
 __all__ = [
     "AggrSpec",
     "FeatureSetSpec",
     "FeatureSpec",
     "KeepPreviousSpec",
     "Selector",
+    "backfill",
     "feature",
+    "get_historical",
     "get_spark",
     "parse_duration_us",
     "parse_selector",

@@ -63,6 +63,165 @@ def _lag_feature_values(
     return out, all_cols
 
 
+def _fusible(spec: FeatureSpec, keys, ts_col: str) -> bool:
+    """A feature can join the single-pass fused plan when it reads the
+    shared source verbatim (same keys/ts, no re-keying) — filters are
+    fused via conditional aggregates; keep_previous only for unfiltered
+    exprs (a row-lag equals a feature-row-lag only when every row IS a
+    feature row)."""
+    return (
+        tuple(spec.keys) == tuple(keys)
+        and spec.timestamp_col == ts_col
+        and spec.keys_expr is None
+        and spec.ts_expr is None
+        and not (spec.keep_previous is not None and spec.filter is not None)
+    )
+
+
+def get_historical_fused(
+    source: DataFrame,
+    fs: FeatureSetSpec,
+    since: Optional[dt.datetime] = None,
+    until: Optional[dt.datetime] = None,
+) -> DataFrame:
+    """Single-pass fused historical plan — the scale path when every
+    feature derives from ONE source and the spine is that source's
+    rows (the transcript backfill shape).
+
+    Instead of replaying each feature and union-merging (~4x the rows
+    through one giant sort), ALL features become window expressions
+    over one scan: ONE hash shuffle on the key + ONE in-partition sort
+    serve every feature column (consecutive WindowExecs reuse the
+    child's ordering; only distinct frame specs differ).
+
+    PIT semantics preserved exactly (same output as the union-merge
+    path, pinned by tests):
+    - windowed feature value at t = window anchored at the LAST
+      feature row ts' <= t (as-of-last-update, the reference's
+      featureset.tmpl.sql:104-122 join semantics) — realized as
+      publish-at-update + last(ignorenulls) forward-fill;
+    - staleness cutoff via the last-update timestamp guard (W4);
+    - implicit None-filter: conditional exprs keep null rows out of
+      every aggregate (Spark aggs skip nulls);
+    - keep_previous = plain lag (every row is an update for unfiltered
+      exprs) with the reference age guard (replay.py:256-259).
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.window_agg import _agg_over
+    from .replay import _eval_expr
+
+    key_feature = fs.resolve_key_feature()
+    keys, ts_col = key_feature.keys, "ts"
+
+    df = source
+    if since is not None:
+        pad_us = max(
+            (
+                f.effective_staleness_us
+                + (
+                    f.keep_previous.versions * f.keep_previous.over_us
+                    if f.keep_previous
+                    else 0
+                )
+            )
+            for f in fs.features
+        )
+        df = df.filter(
+            F.col(ts_col) >= F.lit(since - dt.timedelta(microseconds=pad_us))
+        )
+    if until is not None:
+        df = df.filter(F.col(ts_col) <= F.lit(until))
+
+    # EARLY PROJECTION: evaluate every per-row expr BEFORE the shuffle
+    # so the Exchange carries (keys, ts, small typed values) — never the
+    # raw payload columns (text is 100-1000 B/row; the windows only
+    # need the derived doubles). Catalyst cannot prune this itself
+    # because the exprs sit inside window functions.
+    proj = [F.col(k) for k in keys] + [F.col(ts_col)]
+    vname: dict[str, str] = {}
+    for i, spec in enumerate(fs.features):
+        v = _eval_expr(df, spec.expr)
+        if spec.filter:
+            v = F.when(F.expr(spec.filter), v)
+        vname[spec.name] = f"_v_{i}"
+        proj.append(v.alias(f"_v_{i}"))
+    df = df.select(*proj)
+
+    tsu = micros(ts_col)
+    rows_w = (
+        W.partitionBy(*keys).orderBy(tsu).rowsBetween(W.unboundedPreceding, 0)
+    )
+    lag_w = W.partitionBy(*keys).orderBy(tsu)
+
+    out_cols: list = []
+    key_value = None
+    for spec in fs.features:
+        v = F.col(vname[spec.name])
+        if spec.aggr is not None:
+            a = spec.aggr
+            rw = (
+                W.partitionBy(*keys)
+                .orderBy(tsu)
+                .rangeBetween(-(a.over_us - 1), 0)
+            )
+            if spec.filter is None:
+                # total expr: every row is an update → the anchored
+                # window IS the as-of value; no fill/guard machinery
+                # (halves the buffered window columns). Unfiltered
+                # exprs are assumed total — express None-semantics via
+                # ``filter``, which takes the publish/fill path below.
+                for fn in a.fns:
+                    out_cols.append(
+                        _agg_over(fn, v, rw).alias(f"{spec.name}_{fn}")
+                    )
+                continue
+            upd_ts = F.last(F.when(v.isNotNull(), tsu), ignorenulls=True).over(
+                rows_w
+            )
+            guard = upd_ts >= tsu - F.lit(a.over_us)
+            for fn in a.fns:
+                anchored = _agg_over(fn, v, rw)
+                published = F.when(v.isNotNull(), anchored)
+                filled = F.last(published, ignorenulls=True).over(rows_w)
+                out_cols.append(
+                    F.when(guard, filled).alias(f"{spec.name}_{fn}")
+                )
+        else:
+            st = spec.effective_staleness_us
+            if spec.filter is not None:
+                filled = F.last(v, ignorenulls=True).over(rows_w)
+                upd_ts = F.last(
+                    F.when(v.isNotNull(), tsu), ignorenulls=True
+                ).over(rows_w)
+                col = (
+                    F.when(upd_ts >= tsu - F.lit(st), filled) if st > 0 else filled
+                )
+            else:
+                col = v
+            out_cols.append(col.alias(spec.name))
+            if spec is key_feature:
+                key_value = v if spec.filter is None else col
+            kp = spec.keep_previous
+            if kp is not None:
+                for n in range(1, kp.versions + 1):
+                    lagged = F.lag(v, n).over(lag_w)
+                    if kp.over_us > 0:
+                        lag_ts = F.lag(tsu, n).over(lag_w)
+                        lagged = F.when(
+                            lag_ts >= tsu - F.lit(n * kp.over_us), lagged
+                        )
+                    out_cols.append(lagged.alias(f"{spec.name}_prev{n}"))
+
+    out = df.select(*keys, F.col(ts_col), *out_cols)
+    # spine = key feature's non-null rows (fs.go:35-49)
+    if key_value is not None:
+        out = out.filter(F.col(key_feature.name).isNotNull())
+    if since is not None:
+        out = out.filter(F.col(ts_col) >= F.lit(since))
+    return out
+
+
 def get_historical(
     source: DataFrame,
     fs: FeatureSetSpec,
@@ -71,6 +230,7 @@ def get_historical(
     until: Optional[dt.datetime] = None,
     mode: Literal["exact", "bucketed"] = "exact",
     sources: Optional[dict[str, DataFrame]] = None,
+    fuse: bool = True,
 ) -> DataFrame:
     """Wide PIT training set: one row per spine (keys, ts), one column
     per feature output. ``sources`` may map feature name → its own
@@ -83,6 +243,16 @@ def get_historical(
     keys = key_feature.keys
     ts_col = "ts"
 
+    if (
+        fuse
+        and spine is None
+        and sources is None
+        and mode == "exact"
+        and key_feature.aggr is None
+        and all(_fusible(f, keys, ts_col) for f in fs.features)
+    ):
+        return get_historical_fused(source, fs, since=since, until=until)
+
     if spine is None:
         kf_src = (sources or {}).get(key_feature.name, source)
         spine = replay_wide(kf_src, key_feature, mode=mode).select(
@@ -92,7 +262,12 @@ def get_historical(
             spine = spine.filter(F.col(ts_col) >= F.lit(since))
         if until is not None:
             spine = spine.filter(F.col(ts_col) <= F.lit(until))
-        joined_from_spine = set(key_feature.output_columns())
+        # the spine carries the key feature's base columns; its
+        # keep_previous columns are NOT on the spine (they need the
+        # lag pass) — leave them to the union-merge below
+        joined_from_spine = {
+            c for c in key_feature.output_columns() if "_prev" not in c
+        }
     else:
         joined_from_spine = set()
 

@@ -1,0 +1,117 @@
+"""Pluggable table-format layer: Iceberg when available, partitioned
+parquet otherwise.
+
+The north rule targets an Iceberg transcript table partitioned for the
+engine's access patterns (`bucket(conv_id)` co-locates a conversation;
+`days(ts)` makes time-range scans a file prune — the reference clusters
+its Snowflake history the same way, CLUSTER BY (fqn, timestamp),
+``/root/reference/internal/plugins/providers/historical/snowflake/create.go:31``).
+This sandbox ships no iceberg-spark-runtime jar, so the layer is
+abstracted: every call site uses ``Catalog`` and tests run on the
+parquet implementation; on a cluster with the jar + a configured
+``spark.sql.catalog.<name>``, the same API emits real Iceberg DDL and
+scan-through-catalog reads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "ice") -> bool:
+    """True when an Iceberg catalog is usable in this session."""
+    try:
+        jvm_class = "org.apache.iceberg.spark.SparkCatalog"
+        spark._jvm.java.lang.Class.forName(jvm_class)  # noqa: SLF001
+    except Exception:
+        return False
+    return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+
+
+@dataclass
+class Catalog:
+    """Transcript/feature-table storage facade.
+
+    kind='iceberg': tables are ``<catalog>.<namespace>.<name>``; writes
+    create with PARTITIONED BY (bucket(n, conv_id), days(ts)) and
+    appends go through ``writeTo``.
+    kind='parquet': tables are directories under ``root``; the
+    partition spec degrades to hive dirs on (pbucket, pday) derived
+    columns — same pruning behavior for the engine's two predicates
+    (key equality via bucket, ts range via day).
+    """
+
+    spark: SparkSession
+    root: str = ""
+    kind: str = "parquet"
+    catalog: str = "ice"
+    namespace: str = "raptor"
+    n_buckets: int = 64
+
+    def __post_init__(self):
+        if self.kind == "iceberg" and not iceberg_available(self.spark, self.catalog):
+            raise RuntimeError(
+                "iceberg runtime/catalog not configured in this session"
+            )
+
+    # -- identifiers ---------------------------------------------------
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def _path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    # -- write ---------------------------------------------------------
+    def write_transcripts(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        """Write with the engine partition spec (bucket(conv_id), days(ts))."""
+        if self.kind == "iceberg":
+            ident = self._ident(name)
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {ident} "
+                f"USING iceberg PARTITIONED BY "
+                f"(bucket({self.n_buckets}, conv_id), days(ts)) "
+                f"AS SELECT * FROM {{src}} WHERE 1=0",
+                src=df,
+            )
+            w = df.writeTo(ident)
+            (w.overwritePartitions() if mode == "overwrite" else w.append())
+            return
+        out = df.withColumns(
+            {
+                "pbucket": F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)),
+                "pday": F.to_date("ts"),
+            }
+        )
+        (
+            out.repartition("pbucket")
+            .sortWithinPartitions("conv_id", "ts")
+            .write.mode(mode)
+            .partitionBy("pbucket", "pday")
+            .parquet(self._path(name))
+        )
+
+    # -- read ----------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        if self.kind == "iceberg":
+            return self.spark.table(self._ident(name))
+        return self.spark.read.parquet(self._path(name)).drop("pbucket", "pday")
+
+    def read_key_prune(self, name: str, conv_id: str) -> DataFrame:
+        """Single-key read using the bucket partition column — prunes to
+        1/n_buckets of the files before the conv_id filter runs."""
+        if self.kind == "iceberg":
+            return self.spark.table(self._ident(name)).filter(
+                F.col("conv_id") == conv_id
+            )  # iceberg prunes via its own bucket transform metadata
+        df = self.spark.read.parquet(self._path(name))
+        return (
+            df.filter(
+                F.col("pbucket")
+                == F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.n_buckets))
+            )
+            .filter(F.col("conv_id") == conv_id)
+            .drop("pbucket", "pday")
+        )
