@@ -32,6 +32,7 @@ HEADLINE = [
     "pit_asof_join",        # J1 single-feature as-of
     "window_multi_24h",     # A1-A3 exact sliding window
     "window_distinct_6h",   # A5 exact distinct window
+    "window_approx_distinct_6h",  # A6 HLL two-phase
     "two_phase_1h_10m",     # A8 bucketed two-phase (scale path)
     "lag_lead",             # W2/W6
     "sessionize_30m",       # W7

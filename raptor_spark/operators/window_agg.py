@@ -179,6 +179,25 @@ def merge_buckets(
     return out.drop("_p_count", "_p_sum", "_p_min", "_p_max", "_p_set", "_p_hll")
 
 
+def dedup_bucket_writes(
+    fv: DataFrame, keys: Sequence[str] = ("fqn", "keys", "bucket")
+) -> DataFrame:
+    """Prefer-final dedup of re-written window buckets: when the same
+    (fqn, keys, bucket) was flushed both alive and dead, keep the dead
+    (final) row — the batch equivalent of the reference's cleanup
+    MERGE (``snowflake/create.go:36-60``: WHEN MATCHED AND
+    target.bucket_active AND NOT source.bucket_active THEN DELETE).
+    Expects a ``bucket_active`` boolean column."""
+    w = W.partitionBy(*keys).orderBy(
+        F.col("bucket_active").asc()  # false (final) sorts first
+    )
+    return (
+        fv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def sliding_agg_bucketed(
     df: DataFrame,
     keys: Sequence[str],

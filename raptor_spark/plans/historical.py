@@ -238,7 +238,26 @@ def get_historical(
 
     Spine default: the key feature's value rows (fs.go:35-49) — here,
     its (keys, ts) projection.
+
+    Derived (sourceless) features — ``derived_inputs`` set — are
+    applied over the wide frame after the base pass, in dependency
+    order (J4).
     """
+    derived = fs.derived_topo()
+    if derived:
+        base_fs = FeatureSetSpec(
+            features=fs.base_features(), key_feature=fs.key_feature
+        )
+        out = get_historical(
+            source, base_fs, spine=spine, since=since, until=until,
+            mode=mode, sources=sources, fuse=fuse,
+        )
+        from .replay import _eval_expr
+
+        for spec in derived:
+            out = out.withColumn(spec.name, _eval_expr(out, spec.expr))
+        return out
+
     key_feature = fs.resolve_key_feature()
     keys = key_feature.keys
     ts_col = "ts"

@@ -113,6 +113,21 @@ def q_two_phase_1h_10m(spark, sf_dir):
     )
 
 
+def q_window_approx_distinct_6h(spark, sf_dir):
+    """A6 at scale: bucketed two-phase approx distinct (real HLL
+    sketches per 30m bucket, merged over the trailing 6h). No SQL
+    oracle — HLL estimates are engine-specific; the driver records a
+    rows-only check and tests pin the estimate against exact counts."""
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_agg_bucketed(
+        ev, ["user_id"], "ts", "event_type", 6 * HOUR_US, 30 * 60 * 1_000_000,
+        ["approx_distinct_count"],
+    )
+    return out.select(
+        "user_id", "ts", F.col("approx_distinct_count").alias("approx_dcnt_6h")
+    )
+
+
 def q_lag_lead(spark, sf_dir):
     """W2/W6: per-user prev/next value and prev event_type."""
     ev = _t(spark, sf_dir, "events")
@@ -363,6 +378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_count_1h": q_window_count_1h,
     "window_multi_24h": q_window_multi_24h,
     "window_distinct_6h": q_window_distinct_6h,
+    "window_approx_distinct_6h": q_window_approx_distinct_6h,
     "two_phase_1h_10m": q_two_phase_1h_10m,
     "lag_lead": q_lag_lead,
     "keep_previous_age_guard": q_keep_previous_age_guard,

@@ -103,6 +103,14 @@ class FeatureSpec:
     # override keys/ts of emitted rows (P6, runtime/svc.py:132-142)
     keys_expr: Optional[ExprLike] = None
     ts_expr: Optional[ExprLike] = None
+    # sourceless/derived feature (S6: decorators.py:367-368,
+    # internal/plugins/builders/sourceless/sourceless.go; dependency
+    # resolution J4: replay.py:203-273): ``expr`` is evaluated over the
+    # WIDE historical frame after the listed input features
+    # materialize — the plan-level realization of ``ctx.get_feature``
+    # (dependencies extracted at definition time, never runtime
+    # callbacks).
+    derived_inputs: Optional[tuple[str, ...]] = None
 
     @property
     def fqn(self) -> str:
@@ -142,12 +150,18 @@ def feature(
     granularity: Union[str, int, None] = None,
     keep_previous: Optional[tuple[int, Union[str, int]]] = None,
     filter: Optional[str] = None,
+    inputs: Optional[Sequence[str]] = None,
 ) -> FeatureSpec:
     """Ergonomic constructor mirroring @feature/@aggregation/@freshness/
     @keep_previous (decorators.py:364-527) in one call.
     """
     if isinstance(keys, str):
         keys = (keys,)
+    if inputs and (aggr or keep_previous):
+        raise ValueError(
+            "derived features compute over the wide frame; windowing/"
+            "keep_previous belong on their base inputs"
+        )
     aggr_spec = None
     if aggr:
         over_us = parse_duration_us(over)
@@ -167,6 +181,7 @@ def feature(
         aggr=aggr_spec,
         keep_previous=kp,
         filter=filter,
+        derived_inputs=tuple(inputs) if inputs else None,
     )
 
 
@@ -182,8 +197,38 @@ class FeatureSetSpec:
 
     def resolve_key_feature(self) -> FeatureSpec:
         if self.key_feature is None:
-            return self.features[0]
+            return self.base_features()[0]
         for f in self.features:
             if f.name == self.key_feature or f.fqn == self.key_feature:
                 return f
         raise KeyError(self.key_feature)
+
+    def base_features(self) -> list[FeatureSpec]:
+        return [f for f in self.features if f.derived_inputs is None]
+
+    def derived_topo(self) -> list[FeatureSpec]:
+        """Derived features in dependency order (J4's recursive
+        resolution, done once at plan build). Raises on cycles or
+        unknown inputs."""
+        derived = [f for f in self.features if f.derived_inputs is not None]
+        ready = {f.name for f in self.base_features()}
+        out: list[FeatureSpec] = []
+        pending = list(derived)
+        while pending:
+            progressed = False
+            for f in list(pending):
+                if all(i in ready for i in f.derived_inputs):
+                    out.append(f)
+                    ready.add(f.name)
+                    pending.remove(f)
+                    progressed = True
+            if not progressed:
+                missing = {
+                    f.name: [i for i in f.derived_inputs if i not in ready]
+                    for f in pending
+                }
+                raise ValueError(
+                    f"unresolvable derived features (cycle or unknown "
+                    f"inputs): {missing}"
+                )
+        return out
