@@ -54,8 +54,20 @@ def project_feature(source: DataFrame, spec: FeatureSpec) -> DataFrame:
         else F.col(spec.timestamp_col)
     ).cast("timestamp")
     value = _eval_expr(df, spec.expr)
+    # P6 keys override (3-tuple return, runtime/svc.py:132-142): a
+    # keys_expr re-keys the emitted row (e.g. attribute a turn's value
+    # to another entity). Single-key form: the expr value becomes the
+    # (only) key column.
+    if spec.keys_expr is not None:
+        if len(spec.keys) != 1:
+            raise NotImplementedError("keys_expr override supports one key column")
+        key_cols = [
+            _eval_expr(df, spec.keys_expr).cast("string").alias(spec.keys[0])
+        ]
+    else:
+        key_cols = [F.col(k) for k in spec.keys]
     out = df.select(
-        *[F.col(k) for k in spec.keys],
+        *key_cols,
         ts.alias("ts"),
         value.alias("value"),
     )

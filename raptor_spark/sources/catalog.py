@@ -93,6 +93,32 @@ class Catalog:
             .parquet(self._path(name))
         )
 
+    def write_feature_values(self, fv: DataFrame, name: str, mode: str = "append") -> None:
+        """Historical feature-values sink (S7/S8): the canonical long
+        relation (fqn, keys, ts, value ...) laid out for the two read
+        patterns — per-feature scans (fqn partition, one-file-per-FQN
+        analog of ``parquet/writer.go:36-49``) and time-range pruning
+        (``days(ts)``, the Snowflake CLUSTER BY (fqn, timestamp)
+        analog)."""
+        if self.kind == "iceberg":
+            ident = self._ident(name)
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {ident} USING iceberg "
+                f"PARTITIONED BY (fqn, days(ts)) AS "
+                f"SELECT * FROM {{src}} WHERE 1=0",
+                src=fv,
+            )
+            fv.writeTo(ident).append()
+            return
+        (
+            fv.withColumn("pday", F.to_date("ts"))
+            .repartition("fqn")
+            .sortWithinPartitions("keys", "ts")
+            .write.mode(mode)
+            .partitionBy("fqn", "pday")
+            .parquet(self._path(name))
+        )
+
     # -- read ----------------------------------------------------------
     def read(self, name: str) -> DataFrame:
         if self.kind == "iceberg":
