@@ -24,6 +24,15 @@ over the trailing ``over`` time span per key, evaluated at each event":
 
 Both return one row per input row (exact) or per (keys, bucket)
 (bucketed), with a column per aggregation fn.
+
+Equal-timestamp semantics: the range frame is VALUE-based — all rows
+sharing (keys, ts) see each other's contributions. pandas rolling (the
+LabSDK replay) is positional: the first duplicate sees only itself,
+which depends on input row order and is therefore not reproducible in
+a distributed engine. We pin the value-based (SQL-standard,
+order-deterministic) semantics; the reference's production SQL path is
+also value-based per bucket. Divergence documented like J1/J2
+(asof.py).
 """
 
 from __future__ import annotations

@@ -67,6 +67,19 @@ def test_backfill_resume_after_failure(spark, src, tmp_path_factory):
     assert got == want
 
 
+def test_backfill_bucketed_mode(spark, src, tmp_path_factory):
+    """The 10^12-scale path: bucketed two-phase windows through the
+    sharded driver, equal to the one-shot bucketed plan."""
+    out = str(tmp_path_factory.mktemp("bf_bkt"))
+    fs = transcript_feature_set()
+    res = backfill(spark, src, fs, out, n_shards=3, source_id="t",
+                   mode="bucketed")
+    assert res.shards_run == 3
+    got = _collect_sorted(read_backfill(spark, out))
+    want = _collect_sorted(get_historical(src, fs, mode="bucketed"))
+    assert got == want
+
+
 def test_backfill_plan_change_invalidates(spark, src, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("bf_inval"))
     fs = transcript_feature_set()
