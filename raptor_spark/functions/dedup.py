@@ -127,7 +127,11 @@ def minhash_lsh_pairs(
     # refuses to inline non-cheap exprs referenced multiple times).
     # Heavy per-row compute → spread rows across the cluster first
     # (a freshly-scanned small table may be a single input split).
-    sh = df.repartition(F.col(id_col)).select(
+    # EXPLICIT partition count: a bare repartition(col) gets
+    # AQE-coalesced back to one partition when the bytes are small,
+    # even though the per-row CPU (md5 x shingles) is the real cost.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, shingle_n).alias("_sh"),
     )

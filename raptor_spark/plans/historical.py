@@ -201,7 +201,11 @@ def get_historical_fused(
                 col = v
             out_cols.append(col.alias(spec.name))
             if spec is key_feature:
-                key_value = v if spec.filter is None else col
+                # spine membership = the key feature has a value AT
+                # this row (raw expr non-null, fs.go:35-49) — NOT the
+                # forward-filled column, which would admit every row
+                # after the first update
+                key_value = v
             kp = spec.keep_previous
             if kp is not None:
                 for n in range(1, kp.versions + 1):
@@ -213,10 +217,16 @@ def get_historical_fused(
                         )
                     out_cols.append(lagged.alias(f"{spec.name}_prev{n}"))
 
-    out = df.select(*keys, F.col(ts_col), *out_cols)
-    # spine = key feature's non-null rows (fs.go:35-49)
+    out = df.select(
+        *keys,
+        F.col(ts_col),
+        *out_cols,
+        *( [key_value.isNotNull().alias("_spine")] if key_value is not None else [] ),
+    )
+    # spine = rows where the key feature's RAW expr is non-null
+    # (fs.go:35-49)
     if key_value is not None:
-        out = out.filter(F.col(key_feature.name).isNotNull())
+        out = out.filter(F.col("_spine")).drop("_spine")
     if since is not None:
         out = out.filter(F.col(ts_col) >= F.lit(since))
     return out

@@ -184,41 +184,37 @@ def q_latest_per_key(spark, sf_dir):
 
 
 def q_backfill_wide(spark, sf_dir):
-    """Flagship: PIT training-set assembly — spine = purchase events;
-    features: last click value (staleness 2h), purchase spend sum over
-    24h, event count over 1h — all merged in ONE union-merge pass."""
+    """Flagship: PIT training-set assembly through the engine's spec
+    API — spine = purchase events (filtered key feature); features:
+    last click value (staleness 2h), purchase spend sum over 24h,
+    event count over 1h. All features share the events source, so
+    get_historical compiles the FUSED single-pass plan (one shuffle)."""
+    from .plans.historical import get_historical
+    from .specs import FeatureSetSpec, feature
+
     ev = _t(spark, sf_dir, "events")
-    spine = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    fs = FeatureSetSpec(
+        features=[
+            feature("event_id", "user_id", "event_id",
+                    filter="event_type = 'purchase'"),
+            feature("last_click", "user_id", "value",
+                    staleness="2h", filter="event_type = 'click'"),
+            feature("spend_24h", "user_id", f"cast(value as {DEC})",
+                    aggr=["sum"], over="24h",
+                    filter="event_type = 'purchase'"),
+            feature("events_1h", "user_id", "value",
+                    aggr=["count"], over="1h"),
+        ],
+        key_feature="event_id",
     )
-    last_click = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("last_click")
-    )
-    spend = (
-        sliding_agg_exact(
-            ev.filter(F.col("event_type") == "purchase"),
-            ["user_id"], "ts", F.col("value").cast(DEC), DAY_US, ["sum"],
-        )
-        .select("user_id", "ts", F.round("sum", 6).alias("spend_24h_sum"))
-    )
-    cnt = sliding_agg_exact(ev, ["user_id"], "ts", "value", HOUR_US, ["count"]).select(
-        "user_id", "ts", F.col("count").alias("events_1h_count")
-    )
-    fv = (
-        last_click.unionByName(spend, allowMissingColumns=True)
-        .unionByName(cnt, allowMissingColumns=True)
-    )
-    return asof_join(
-        spine,
-        fv,
-        ["user_id"],
+    out = get_historical(ev, fs)
+    return out.select(
+        "event_id",
+        "user_id",
         "ts",
-        ["last_click", "spend_24h_sum", "events_1h_count"],
-        staleness_us={
-            "last_click": 2 * HOUR_US,
-            "spend_24h_sum": DAY_US,
-            "events_1h_count": HOUR_US,
-        },
+        "last_click",
+        F.round("spend_24h_sum", 6).alias("spend_24h_sum"),
+        F.col("events_1h_count"),
     )
 
 
