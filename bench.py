@@ -48,6 +48,7 @@ HEADLINE = [
     "knn_cosine",           # brute-force ANN baseline
     "embedding_neardup",    # LSH-blocked cosine near-dup
     "ann_lsh",              # bucketed approximate top-k
+    "ann_ivf",              # IVF-Flat inverted lists
     "pricing_summary",      # TPC-H Q1-style agg
     "topk_orders_per_cust", # window top-k
 ]

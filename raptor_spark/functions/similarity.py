@@ -134,6 +134,72 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: partition the corpus into inverted
+    lists by nearest centroid; queries scan only their ``n_probe``
+    nearest lists.
+
+    Centroid selection here is the deterministic skeleton — the first
+    ``n_centroids`` corpus vectors by id (a fixed "training sample");
+    production swaps in k-means trained centroids without touching the
+    plan shape. Assignment and probing are exact argmin over the
+    broadcast centroid set: one narrow corpus scan + one equi-join on
+    the list id — the standard shape at 10⁹+ rows (centroids always
+    broadcastable; lists shard the shuffle).
+    """
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cent")
+        )
+    )
+
+    def nearest_lists(df, idc, vecc, n):
+        scored = df.crossJoin(cents).select(
+            F.col(idc),
+            F.col(vecc),
+            "_cid",
+            cosine(F.col(vecc), F.col("_cent")).alias("_sim"),
+        )
+        w = W.partitionBy(idc).orderBy(F.col("_sim").desc(), F.col("_cid").asc())
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n)
+            .drop("_sim", "_r")
+        )
+
+    lists = nearest_lists(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "neighbor_id", "_cv", 1,
+    )
+    probes = nearest_lists(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "query_id", "_qv", n_probe,
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "_cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

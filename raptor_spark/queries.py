@@ -29,6 +29,7 @@ from .functions.dedup import (
 from .functions.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from .functions.text import (
@@ -336,6 +337,19 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat approximate top-3 (16 inverted lists, 2 probes) for
+    query vectors 100 <= vec_id < 105; deterministic centroid skeleton
+    (first 16 ids) so the oracle replicates exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return ivf_topk(
+        emb, queries, k=3, n_centroids=16, n_probe=2
+    ).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ----------------------------------------------------------- tpch-style
 
 def q_pricing_summary(spark, sf_dir):
@@ -394,6 +408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "pricing_summary": q_pricing_summary,
     "topk_orders_per_cust": q_topk_orders_per_cust,
 }
@@ -546,6 +561,43 @@ SELECT query_id, neighbor_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id
        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
 FROM dedup
+QUALIFY rank <= 3
+"""
+
+
+def _ann_ivf_sql() -> str:
+    cos_cent = _COS_SQL.format(a="e.embedding", b="c.cent")
+    cos_q = _COS_SQL.format(a="q.embedding", b="c.cent")
+    cos_pair = _COS_SQL.format(a="p.qv", b="l.cv")
+    # centroid argmin uses the UNROUNDED cosine in both engines (same
+    # left-to-right double ops); only the output cos_sim is rounded
+    raw_cent = cos_cent.replace("round(\n", "(\n").replace(",\n    6)", ")")
+    raw_q = cos_q.replace("round(\n", "(\n").replace(",\n    6)", ")")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cent FROM embeddings WHERE vec_id < 16),
+lists AS (
+  SELECT neighbor_id, cv, cid FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {raw_cent} DESC, c.cid) AS r
+    FROM embeddings e CROSS JOIN cents c) WHERE r = 1),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {raw_q} DESC, c.cid) AS r
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id >= 100 AND q.vec_id < 105) WHERE r <= 2),
+scored AS (
+  SELECT p.query_id, l.neighbor_id, max({cos_pair}) AS cos_sim
+  FROM lists l JOIN probes p ON l.cid = p.cid
+  WHERE l.neighbor_id != p.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
 QUALIFY rank <= 3
 """
 
@@ -746,6 +798,7 @@ FROM documents
 """,
     "embedding_neardup": _embedding_neardup_sql(),
     "ann_lsh": _ann_lsh_sql(),
+    "ann_ivf": _ann_ivf_sql(),
     "ngram_jaccard": f"""
 WITH docs AS (SELECT doc_id, source, {_NORM} AS norm FROM documents),
 toks AS (SELECT doc_id, source, norm, string_split(norm, ' ') AS w FROM docs),
