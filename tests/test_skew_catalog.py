@@ -55,6 +55,28 @@ class TestSkew:
         assert n_groups > 1
 
 
+class TestSkewedHistorical:
+    def test_fused_backfill_on_zipf_data(self, spark, skewed):
+        """End-to-end PIT plan over the Zipf fixture (one 50k-turn
+        conversation): completes, row-complete, fused == general."""
+        from raptor_spark.backfill import transcript_feature_set
+        from raptor_spark.plans.historical import get_historical
+
+        fs = transcript_feature_set()
+        fused = get_historical(skewed, fs)
+        assert fused.count() == skewed.count()
+        hot = fused.filter(F.col("conv_id") == "conv_00000000")
+        assert hot.count() == 50_000
+        # spot-check the hot conversation against the general path
+        gen_hot = get_historical(skewed, fs, fuse=False).filter(
+            F.col("conv_id") == "conv_00000000"
+        )
+        cols = sorted(fused.columns)
+        a = [tuple(r) for r in hot.select(*cols).orderBy("ts").limit(2000).collect()]
+        b = [tuple(r) for r in gen_hot.select(*cols).orderBy("ts").limit(2000).collect()]
+        assert a == b
+
+
 class TestCatalog:
     def test_parquet_roundtrip_and_prune(self, spark, tmp_path):
         src = transcripts(spark, n_convs=20)
