@@ -34,6 +34,7 @@ HEADLINE = [
     "window_distinct_6h",   # A5 exact distinct window
     "window_approx_distinct_6h",  # A6 HLL two-phase
     "two_phase_1h_10m",     # A8 bucketed two-phase (scale path)
+    "salted_user_stats",    # salted two-level skew agg
     "lag_lead",             # W2/W6
     "sessionize_30m",       # W7
     "session_stats_30m",    # W7 + bounds agg

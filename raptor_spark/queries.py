@@ -129,6 +129,26 @@ def q_window_approx_distinct_6h(spark, sf_dir):
     )
 
 
+def q_salted_user_stats(spark, sf_dir):
+    """Skew lever as a query: two-level salted aggregation per user
+    (partials per (user, salt) → merge), equal to a plain groupBy —
+    the shape that survives a single key with 10^8 rows."""
+    from .operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["user_id"], F.col("value").cast(DEC), ["count", "sum", "min", "max", "avg"],
+    )
+    return out.select(
+        "user_id",
+        F.col("count").alias("n_events"),
+        F.round("sum", 6).alias("sum_value"),
+        F.col("min").alias("min_value"),
+        F.col("max").alias("max_value"),
+        F.round("avg", 6).alias("avg_value"),
+    )
+
+
 def q_lag_lead(spark, sf_dir):
     """W2/W6: per-user prev/next value and prev event_type."""
     ev = _t(spark, sf_dir, "events")
@@ -390,6 +410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_distinct_6h": q_window_distinct_6h,
     "window_approx_distinct_6h": q_window_approx_distinct_6h,
     "two_phase_1h_10m": q_two_phase_1h_10m,
+    "salted_user_stats": q_salted_user_stats,
     "lag_lead": q_lag_lead,
     "keep_previous_age_guard": q_keep_previous_age_guard,
     "sessionize_30m": q_sessionize_30m,
@@ -652,6 +673,16 @@ SELECT user_id,
   round(CAST(sum(s) OVER w AS DOUBLE), 6) AS sum_1h
 FROM p
 WINDOW w AS (PARTITION BY user_id ORDER BY bucket RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+""",
+    "salted_user_stats": """
+SELECT user_id,
+  CAST(count(value) AS DOUBLE) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value,
+  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        / count(value), 6) AS avg_value
+FROM events GROUP BY 1
 """,
     "lag_lead": """
 SELECT event_id, user_id, ts,
