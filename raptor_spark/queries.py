@@ -390,6 +390,37 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-flavored multi-table join: revenue per nation for 1995
+    orders. Physical shape: lineitem⋈orders shuffles on the fact keys;
+    customer then nation join with explicit broadcast (dims are tiny at
+    any SF — nation is 25 rows at SF100k)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    d = lambda col: F.col(col).cast(DEC)
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast(DEC) - d("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("n_name", F.round("revenue", 6).alias("revenue"), "n_items")
+    )
+
+
 def q_topk_orders_per_cust(spark, sf_dir):
     """Top-3 orders by totalprice per customer (window top-k)."""
     o = _t(spark, sf_dir, "orders")
@@ -431,6 +462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
     "topk_orders_per_cust": q_topk_orders_per_cust,
 }
 
@@ -874,6 +906,19 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+""",
+    "revenue_by_nation": """
+SELECT n.n_name,
+  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS revenue,
+  count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
 """,
     "topk_orders_per_cust": """
 SELECT o_custkey, o_orderkey, o_totalprice,
