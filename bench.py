@@ -43,6 +43,7 @@ HEADLINE = [
     "text_stats",           # quality/token/fingerprint
     "lang_id",              # n-gram language ID
     "minhash_lsh",          # MinHash+LSH near-dup
+    "dup_clusters",         # connected components of dup pairs
     "simhash_dedup",        # SimHash near-dup groups
     "token_freq",           # BPE-ish tokenize + corpus top-k
     "media_features",       # multimodal mapInPandas plumbing

@@ -193,6 +193,64 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: connected components by
+    min-label propagation. Returns (id, cluster_rep = min id in the
+    component).
+
+    Each iteration: every node adopts the min label among itself and
+    its neighbors (one join + groupBy-min per round); converges in
+    O(diameter) ≤ O(log n) rounds for near-dup graphs (components are
+    tiny cliques/chains). Driver loop with early exit when a round
+    changes nothing — at 10⁹ edges each round is two shuffles; for
+    pathological giant components switch to alternating large/small
+    star (same primitive ops).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_rep"))
+
+
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
     inter = F.size(F.array_intersect(sh_a, sh_b))
     union = F.size(F.array_union(sh_a, sh_b))

@@ -274,6 +274,19 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over MinHash-LSH candidate pairs →
+    (doc_id, cluster_rep): the dedup output a training pipeline
+    actually consumes (keep one representative per cluster)."""
+    from .functions.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", k=16, bands=4)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_rep"
+    )
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash(32) dedup groups: one row per signature with the
     representative doc and group size. Staged selects keep the md5
@@ -454,6 +467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_clusters": q_dup_clusters,
     "simhash_dedup": q_simhash_dedup,
     "token_freq": q_token_freq,
     "media_features": q_media_features,
@@ -528,6 +542,27 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+
+def _dup_clusters_sql() -> str:
+    """Connected components via recursive transitive closure (tiny
+    near-dup components make the closure cheap)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_sql()}) t
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(src, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.src
+)
+SELECT src AS doc_id, min(label) AS cluster_rep FROM walk GROUP BY 1
 """
 
 
@@ -839,6 +874,7 @@ SELECT doc_id,
 FROM h
 """,
     "minhash_lsh": _minhash_sql(),
+    "dup_clusters": _dup_clusters_sql(),
     "simhash_dedup": _simhash_sql(),
     "token_freq": f"""
 WITH toks AS (
