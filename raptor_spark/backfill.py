@@ -120,6 +120,7 @@ def backfill(
     source_id: str = "source",
     mode: str = "exact",
     fail_after_shard: Optional[int] = None,
+    incremental: bool = False,
 ) -> BackfillResult:
     """Run the historical plan shard-wise with per-shard commit.
 
@@ -127,6 +128,13 @@ def backfill(
     filters the SOURCE on ``pmod(xxhash64(key), n_shards) == k`` — a
     predicate Spark pushes into the scan — so window/as-of state for a
     key lives entirely inside its shard.
+
+    incremental=True: data-aware resume — each committed shard stores a
+    cheap input FINGERPRINT (row count, max ts µs, xxhash of key+ts);
+    a later run over an appended/changed source recomputes exactly the
+    shards whose fingerprint moved and skips the rest. (Plain resume
+    only skips by plan hash — right for a killed run over static
+    input.)
 
     fail_after_shard: test hook — raise after committing shard k to
     simulate a killed run (resume covered by tests).
@@ -136,17 +144,39 @@ def backfill(
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
 
     done = committed_shards(out_dir, phash) if resume else set()
+    prior: dict[int, dict] = {}
+    if incremental and resume:
+        d = _lineage_dir(out_dir)
+        for k in done:
+            try:
+                with open(_shard_record_path(out_dir, k)) as f:
+                    prior[k] = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass
     t_run = time.perf_counter()
     in_rows = out_rows = 0
-    ran = 0
+    ran = skipped = 0
 
     shard_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
+    ts_col = "ts"
     for k in range(n_shards):
-        if k in done:
+        src_k = source.filter(shard_expr == k)
+        fp = None
+        if incremental:
+            row = src_k.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.unix_micros(F.col(ts_col))).alias("mx"),
+                F.bit_xor(F.xxhash64(F.col(key), F.col(ts_col))).alias("h"),
+            ).collect()[0]
+            fp = {"n": row["n"], "max_ts_us": row["mx"], "hash": row["h"]}
+            if k in done and prior.get(k, {}).get("fingerprint") == fp:
+                skipped += 1
+                continue
+        elif k in done:
+            skipped += 1
             continue
         t0 = time.perf_counter()
-        src_k = source.filter(shard_expr == k)
-        n_in = src_k.count()
+        n_in = fp["n"] if fp is not None else src_k.count()
         out = get_historical(src_k, fs, mode=mode)
         data_path = os.path.join(out_dir, "data", f"shard={k:05d}")
         out.write.mode("overwrite").parquet(data_path)
@@ -164,6 +194,7 @@ def backfill(
                 "plan_hash": phash,
                 "status": "committed",
                 "data_path": data_path,
+                **({"fingerprint": fp} if fp is not None else {}),
             },
         )
         ran += 1
@@ -178,7 +209,7 @@ def backfill(
         plan_hash=phash,
         shards_total=n_shards,
         shards_run=ran,
-        shards_skipped=len(done),
+        shards_skipped=skipped,
         input_rows=in_rows,
         output_rows=out_rows,
         wall_s=round(wall_s, 3),
@@ -189,7 +220,7 @@ def backfill(
             "plan_hash": phash,
             "n_shards": n_shards,
             "shards_run": ran,
-            "shards_skipped": len(done),
+            "shards_skipped": skipped,
             "input_rows": in_rows,
             "output_rows": out_rows,
             "wall_s": res.wall_s,
@@ -242,6 +273,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--mode", choices=["exact", "bucketed"], default="exact")
     p.add_argument("--skew", action="store_true")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--incremental", action="store_true",
+                   help="data-aware resume: recompute only shards whose "
+                        "input fingerprint changed")
     args = p.parse_args(argv)
 
     spark = get_spark(app="raptor_backfill", master=args.master)
@@ -254,7 +288,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             args.out,
             n_shards=args.shards,
             resume=not args.no_resume,
-            source_id=f"transcripts:{args.n_convs}:{args.skew}",
+            # incremental reruns grow n_convs over the same logical
+            # source — keep the checkpoint identity stable across sizes
+            source_id=(
+                f"transcripts:{args.skew}"
+                if args.incremental
+                else f"transcripts:{args.n_convs}:{args.skew}"
+            ),
+            incremental=args.incremental,
             mode=args.mode,
         )
         print(json.dumps({

@@ -80,6 +80,28 @@ def test_backfill_bucketed_mode(spark, src, tmp_path_factory):
     assert got == want
 
 
+def test_backfill_incremental_recomputes_changed_shards(spark, tmp_path_factory):
+    """Data-aware resume: append new conversations → only the shards
+    whose input fingerprint moved recompute; final output equals a
+    fresh full run."""
+    out = str(tmp_path_factory.mktemp("bf_incr"))
+    fs = transcript_feature_set()
+    small = transcripts(spark, n_convs=20)
+    res1 = backfill(spark, small, fs, out, n_shards=N_SHARDS, source_id="t",
+                    incremental=True)
+    assert res1.shards_run == N_SHARDS
+    # grow the source: convs 20..29 are NEW; 0..19 byte-identical
+    grown = transcripts(spark, n_convs=30)
+    res2 = backfill(spark, grown, fs, out, n_shards=N_SHARDS, source_id="t",
+                    incremental=True)
+    assert res2.shards_run >= 1          # shards with new convs
+    assert res2.shards_skipped >= 1      # untouched shards skipped
+    assert res2.shards_run + res2.shards_skipped == N_SHARDS
+    got = _collect_sorted(read_backfill(spark, out))
+    want = _collect_sorted(get_historical(grown, fs))
+    assert got == want
+
+
 def test_backfill_plan_change_invalidates(spark, src, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("bf_inval"))
     fs = transcript_feature_set()
