@@ -111,6 +111,97 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFrame:
+    """Resize stage plumbing: pandas batches in, same media schema out
+    with updated metadata. The pixel resample itself needs PIL/opencv
+    (absent here) — the deterministic stand-in clamps dimensions and
+    truncates the payload proportionally, preserving the exact
+    batch/schema/partitioning contract a real resampler uses."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            metas = []
+            payloads = []
+            for meta, payload in zip(pdf["meta"], pdf["payload"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                scale = min(max_w / max(w, 1), max_h / max(h, 1), 1.0)
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                b = bytes(payload)
+                n = max(int(len(b) * scale * scale), 1)
+                payloads.append(b[:n])
+                metas.append(
+                    {"width": nw, "height": nh,
+                     "duration_ms": int(meta["duration_ms"])}
+                )
+            out["meta"] = metas
+            out["payload"] = payloads
+            yield out
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling stage (video → frame rows): one output row per
+    sampled timestamp — a row-expanding mapInPandas (the shape a real
+    keyframe extractor has; the codec decode is the stubbed part, the
+    fan-out/ordering/schema are real). Non-video rows produce no
+    frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, mtype, meta, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["meta"], pdf["payload"]
+            ):
+                if mtype != "video":
+                    continue
+                dur = int(meta["duration_ms"])
+                b = bytes(payload)
+                for i, t in enumerate(range(0, max(dur, 1), every_ms)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(t)
+                    # stand-in frame bytes: deterministic slice per ts
+                    off = (t * 7) % max(len(b), 1)
+                    payloads.append(b[off : off + 16])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_ts_ms": pd.array(tss, dtype="int32"),
+                 "payload": payloads}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction over the media table.
 

@@ -50,6 +50,26 @@ def upper_ratio(text: Column | str) -> Column:
     return _ratio(upper, F.length(t))
 
 
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are (en) stopword markers —
+    the stopword-ratio quality signal; near-zero on keyword spam and
+    non-prose."""
+    t = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    hits = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        pat = f" {w} "
+        hits = hits + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(pat))))
+            / F.lit(len(pat))
+        ).cast("int")
+    return F.round(
+        F.when(token_count(t) > 0, hits.cast("double") / token_count(t))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+
+
 def quality_score(text: Column | str) -> Column:
     """Heuristic document quality in [0,1]: rewards alphabetic content
     and reasonable length, penalizes shouting and punctuation walls.
@@ -121,6 +141,7 @@ def text_stats(text_col: str = "text") -> list[Column]:
         F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(upper_ratio(t), 6).alias("upper_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     ]

@@ -338,6 +338,20 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_frames(spark, sf_dir):
+    """Frame sampling (video → frame rows) through the mapInPandas
+    fan-out; payloads surfaced as md5 so the oracle compares bytes
+    portably."""
+    from .functions.multimodal import sample_frames, synthesize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_media(docs, "doc_id"), every_ms=1000)
+    return frames.select(
+        "media_id", "frame_idx", "frame_ts_ms",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 # ------------------------------------------------------------ embeddings
 
 def q_knn_cosine(spark, sf_dir):
@@ -471,6 +485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": q_simhash_dedup,
     "token_freq": q_token_freq,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
@@ -852,6 +867,12 @@ SELECT doc_id,
   round(CASE WHEN length(text)>0 THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END, 6) AS alpha_ratio,
   round(CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[.,!?;:]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END, 6) AS punct_ratio,
   round(CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[A-Z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END, 6) AS upper_ratio,
+  round(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+    THEN CAST((SELECT {_lang_hits_sql('en')} FROM (SELECT ' ' || lower(text) || ' ' AS padded) _p) AS DOUBLE)
+         / (CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+    ELSE 0.0 END, 6) AS stopword_ratio,
   {_quality_sql()} AS quality,
   md5({_NORM}) AS fingerprint
 FROM documents
@@ -894,6 +915,20 @@ SELECT doc_id AS media_id,
   round(CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 2)) AS INT)
         / 255.0, 6) AS f0
 FROM documents
+""",
+    "media_frames": """
+WITH vids AS (
+  SELECT doc_id AS media_id, text, length(text) * 10 AS dur
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT media_id, text,
+    unnest(generate_series(0, CAST(greatest(dur, 1) - 1 AS BIGINT), 1000)) AS t
+  FROM vids)
+SELECT media_id,
+  CAST(t // 1000 AS INT) AS frame_idx,
+  CAST(t AS INT) AS frame_ts_ms,
+  md5(substr(text, CAST((t * 7) % greatest(length(text), 1) AS INT) + 1, 16)) AS payload_md5
+FROM f
 """,
     "embedding_neardup": _embedding_neardup_sql(),
     "ann_lsh": _ann_lsh_sql(),

@@ -135,6 +135,41 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_image(b"\xff\xd8\xff")
 
+    def test_resize_clamps_and_preserves_schema(self, spark):
+        from raptor_spark.functions.multimodal import resize_images, synthesize_media
+
+        docs = spark.createDataFrame(
+            [(i, "y" * (100 + i * 37)) for i in range(30)], "doc_id long, text string"
+        )
+        media = synthesize_media(docs, "doc_id")
+        out = resize_images(media, max_w=32, max_h=32)
+        assert [f.name for f in out.schema.fields] == [
+            "media_id", "media_type", "payload", "meta",
+        ]
+        rows = out.collect()
+        assert len(rows) == 30
+        assert all(r["meta"]["width"] <= 32 and r["meta"]["height"] <= 32
+                   for r in rows)
+        # deterministic across runs
+        assert {r["media_id"]: bytes(r["payload"]) for r in rows} == \
+               {r["media_id"]: bytes(r["payload"]) for r in out.collect()}
+
+    def test_sample_frames_video_only(self, spark):
+        from raptor_spark.functions.multimodal import sample_frames, synthesize_media
+        from pyspark.sql import functions as SF
+
+        docs = spark.createDataFrame(
+            [(i, "z" * 400) for i in range(12)], "doc_id long, text string"
+        )
+        media = synthesize_media(docs, "doc_id")  # media_id % 3 == 2 → video
+        frames = sample_frames(media, every_ms=1000)
+        mids = {r["media_id"] for r in frames.select("media_id").distinct().collect()}
+        assert mids == {i for i in range(12) if i % 3 == 2}
+        one = frames.filter(SF.col("media_id") == 2).orderBy("frame_idx").collect()
+        # duration_ms = 400*10 = 4000 → frames at 0,1000,2000,3000
+        assert [r["frame_ts_ms"] for r in one] == [0, 1000, 2000, 3000]
+        assert [r["frame_idx"] for r in one] == [0, 1, 2, 3]
+
     def test_batching_preserved(self, spark):
         """mapInPandas receives pandas batches — verify the iterator
         contract (multiple input batches, arbitrary yield shape)."""
