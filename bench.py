@@ -47,6 +47,7 @@ HEADLINE = [
     "simhash_dedup",        # SimHash near-dup groups
     "token_freq",           # BPE-ish tokenize + corpus top-k
     "media_features",       # multimodal mapInPandas plumbing
+    "media_frames",         # video frame-sample fan-out
     "knn_cosine",           # brute-force ANN baseline
     "embedding_neardup",    # LSH-blocked cosine near-dup
     "ann_lsh",              # bucketed approximate top-k
