@@ -75,6 +75,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
     names = [n for n in HEADLINE if only is None or n in only]
+    if only:
+        unknown = set(only) - set(HEADLINE)
+        if unknown:
+            print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+            sys.exit(2)
 
     spark = get_spark(app="raptor_spark_bench")
     try:

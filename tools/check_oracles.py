@@ -76,6 +76,10 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        failures += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
