@@ -113,12 +113,24 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     k: int = 16,
     bands: int = 4,
+    max_bucket: int = 10_000,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     k hashes split into ``bands`` bands of k/bands rows; docs sharing
     any band signature become a candidate pair (id_a < id_b, distinct).
     Returns (id_a, id_b, n_shared_bands).
+
+    ``max_bucket`` caps a single LSH bucket: buckets with more than
+    ``max_bucket`` docs are DROPPED (their in-bucket pair fan-out is
+    quadratic — one giant exact-duplicate cluster would put an
+    unbounded array and O(n²) local pairs in a single task). Docs in a
+    dropped bucket are exact/near-exact dups by construction and are
+    still caught by ``exact_dedup``. Pass a ``pyspark.sql.Observation``
+    as ``observation`` to read the dropped-bucket count + dropped-doc
+    total after the action (metrics ``dropped_buckets``,
+    ``dropped_docs``) — no extra job, collected during the same pass.
     """
     rows = k // bands
     # staged selects: shingle → md5-hash (expensive, once per shingle)
@@ -170,14 +182,37 @@ def minhash_lsh_pairs(
     ).select("_id", "bb.band", "bb.bsig")
     # bucket-collect instead of a self-join: ONE shuffle on the band
     # signature, signatures computed once, pairs emitted locally per
-    # bucket (each doc appears at most once per bucket). At scale, cap
-    # pathological buckets upstream (e.g. drop buckets > ~1e4 docs —
-    # they are exact-dup clusters better handled by exact_dedup).
+    # bucket (each doc appears at most once per bucket). Size the
+    # bucket list FIRST (a count aggregate, map-side combined) and drop
+    # pathological buckets by count before collect_list ever builds the
+    # array — the cap bounds both the array bytes and the quadratic
+    # local pair fan-out.
     buckets = (
         banded.groupBy("band", "bsig")
-        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.array_sort(F.collect_list("_id")).alias("ids"),
+        )
     )
+    if max_bucket > 0:
+        # Spark lacks a capped collect_list, so the array is still built
+        # per bucket; the filter drops giant arrays before the explode
+        # stage where the quadratic pair blow-up would happen. If even
+        # building the array is too much (>~1e6 ids in one bucket), run
+        # the two-pass variant: count-only pass → anti-join out hot
+        # (band, bsig) keys → collect pass.
+        if observation is not None:
+            buckets = buckets.observe(
+                observation,
+                F.coalesce(
+                    F.sum((F.col("_n") > max_bucket).cast("long")), F.lit(0)
+                ).alias("dropped_buckets"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_n") > max_bucket, F.col("_n"))), F.lit(0)
+                ).alias("dropped_docs"),
+            )
+        buckets = buckets.filter(F.col("_n") <= max_bucket)
+    buckets = buckets.filter(F.col("_n") > 1).drop("_n")
     pairs = buckets.select(
         F.explode(
             F.expr(
@@ -210,6 +245,14 @@ def connected_components(
     changes nothing — at 10⁹ edges each round is two shuffles; for
     pathological giant components switch to alternating large/small
     star (same primitive ops).
+
+    The convergence check rides the label-update pass: a ``_changed``
+    flag is computed inside the update join, the result is
+    localCheckpoint'ed (materialized), and the changed-count is a cheap
+    scan of the cached partitions — no extra join, no recompute.
+    Raises ``RuntimeError`` if labels have not converged after
+    ``max_iter`` rounds (silent truncation would return WRONG cluster
+    labels).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -223,6 +266,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -236,18 +280,21 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_changed"),
             )
+            .localCheckpoint(eager=True)  # cut lineage + materialize per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        # checkpointed → this count scans cached partitions, no recompute
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter or switch to large-star/small-star for "
+            "high-diameter graphs"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_rep"))
 
 

@@ -56,22 +56,31 @@ def salted_agg(
     """Two-level aggregate of ``value`` per key: salt → partials →
     final merge. ``fns`` ⊆ {count,sum,min,max,avg,approx_distinct_count}
     (exact distinct is not salt-mergeable without sets; use HLL).
-    ``salt_source``: a column to derive the salt from (deterministic);
-    defaults to a hash of all columns' monotonically increasing id —
-    we use spark_partition_id which is stable within a run.
+    ``salt_source``: a column to derive the salt from; defaults to a
+    hash of ALL input columns. Either way the salt is a pure function
+    of row DATA, never of physical placement (spark_partition_id /
+    monotonically_increasing_id vary run-to-run and made the partial
+    grouping — hence double-addition order — nondeterministic).
+
+    Determinism contract: partial sums stay in the INPUT type. Pass a
+    DECIMAL/integral value for bit-exact results (decimal addition is
+    order-independent; doubles are not). The cast to double happens
+    once, in the final merge, so the result is a pure function of the
+    data regardless of partitioning.
     """
     v = F.col(value) if isinstance(value, str) else value
-    salt = (
-        F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
+    salt_of = (
+        F.xxhash64(F.col(salt_source))
         if salt_source
-        else F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
+        else F.xxhash64(*[F.col(c) for c in df.columns])
     )
+    salt = F.pmod(salt_of, F.lit(n_salts))
     need_hll = "approx_distinct_count" in fns
     partial_aggs = [
         F.count(v).alias("_p_count"),
-        F.sum(v.cast("double")).alias("_p_sum"),
-        F.min(v.cast("double")).alias("_p_min"),
-        F.max(v.cast("double")).alias("_p_max"),
+        F.sum(v).alias("_p_sum"),
+        F.min(v).alias("_p_min"),
+        F.max(v).alias("_p_max"),
     ]
     if need_hll:
         partial_aggs.append(F.hll_sketch_agg(v.cast("string")).alias("_p_hll"))
@@ -88,8 +97,11 @@ def salted_agg(
         elif fn == "max":
             final_aggs.append(F.max("_p_max").cast("double").alias("max"))
         elif fn == "avg":
+            # cast the exact sum to double BEFORE dividing so the result
+            # matches ANSI-SQL `CAST(sum(x) AS DOUBLE) / count(x)` bit-for-bit
+            # (decimal division would round differently pre-cast).
             final_aggs.append(
-                (F.sum("_p_sum") / F.sum("_p_count")).cast("double").alias("avg")
+                (F.sum("_p_sum").cast("double") / F.sum("_p_count")).alias("avg")
             )
         elif fn == "approx_distinct_count":
             final_aggs.append(

@@ -138,6 +138,7 @@ def q_salted_user_stats(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = salted_agg(
         ev, ["user_id"], F.col("value").cast(DEC), ["count", "sum", "min", "max", "avg"],
+        salt_source="ts",  # data-derived salt → deterministic partial grouping
     )
     return out.select(
         "user_id",
@@ -312,11 +313,12 @@ def q_token_freq(spark, sf_dir):
         ).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit plans TakeOrderedAndProject (per-partition top-k, no
+    # single-partition window over the whole vocabulary); rank the 20
+    # survivors with a window that is trivially small.
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
     w = W.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def q_media_features(spark, sf_dir):

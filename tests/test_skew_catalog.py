@@ -40,11 +40,12 @@ class TestSkew:
                 assert x == pytest.approx(y, rel=1e-9)
 
     def test_salted_partials_spread(self, spark, skewed):
-        """The hot key's rows must land in multiple salt groups."""
-        df = skewed.select("conv_id", F.length("text").cast("double").alias("v"))
-        salt = F.pmod(
-            F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(32)
+        """The hot key's rows must land in multiple salt groups under
+        the data-derived salt (hash of all columns)."""
+        df = skewed.select(
+            "conv_id", "ts", F.length("text").cast("double").alias("v")
         )
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(32))
         n_groups = (
             df.filter(F.col("conv_id") == "conv_00000000")
             .withColumn("_salt", salt)
@@ -53,6 +54,23 @@ class TestSkew:
             .count()
         )
         assert n_groups > 1
+
+    def test_salted_agg_deterministic_across_partitioning(self, spark, skewed):
+        """Bit-exact equality of DECIMAL-partial salted aggs across
+        different physical layouts (the round-1 hash-gate failure mode:
+        placement-derived salt + double partials drifted per run)."""
+        df = skewed.select(
+            "conv_id", "ts", F.length("text").cast("decimal(18,2)").alias("v")
+        )
+        def run(d):
+            out = salted_agg(d, ["conv_id"], "v", ["sum", "avg"], salt_source="ts")
+            return out.agg(
+                F.bit_xor(F.xxhash64("conv_id", "sum", "avg")).alias("h")
+            ).collect()[0]["h"]
+        h1 = run(df)
+        h2 = run(df.repartition(3))
+        h3 = run(df.repartition(64, "ts").sortWithinPartitions(F.desc("ts")))
+        assert h1 == h2 == h3
 
 
 class TestSkewedHistorical:
