@@ -116,6 +116,7 @@ def backfill(
     out_dir: str,
     n_shards: int = 16,
     shard_key: Optional[str] = None,
+    shard_col: Optional[str] = None,
     resume: bool = True,
     source_id: str = "source",
     mode: str = "exact",
@@ -125,28 +126,38 @@ def backfill(
     """Run the historical plan shard-wise with per-shard commit.
 
     shard_key defaults to the key feature's first key column. Each shard
-    filters the SOURCE on ``pmod(xxhash64(key), n_shards) == k`` — a
-    predicate Spark pushes into the scan — so window/as-of state for a
-    key lives entirely inside its shard.
+    filters the SOURCE on ``pmod(xxhash64(key), n_shards) == k``. A hash
+    predicate prunes NOTHING in a flat parquet layout — a 16-shard run
+    would read the input 16× — so when the source is catalog-laid-out,
+    pass ``shard_col`` (e.g. the catalog's ``pbucket`` hive-partition
+    column): the shard predicate becomes
+    ``pmod(shard_col, n_shards) == k``, which Spark turns into a
+    PartitionFilter, and each shard's scan touches only ~1/n_shards of
+    the files. Because the catalog derives pbucket with the SAME hash
+    (``pmod(xxhash64(conv_id), n_buckets)``, sources/catalog.py), the
+    shard assignment is IDENTICAL to key-hash sharding whenever
+    n_buckets % n_shards == 0 — a checkpointed run can switch between
+    the two and resume cleanly.
 
     incremental=True: data-aware resume — each committed shard stores a
     cheap input FINGERPRINT (row count, max ts µs, xxhash of key+ts);
     a later run over an appended/changed source recomputes exactly the
     shards whose fingerprint moved and skips the rest. (Plain resume
     only skips by plan hash — right for a killed run over static
-    input.)
+    input.) Fingerprints for ALL shards come from ONE full-source
+    groupBy pass, not one aggregate job per shard.
 
     fail_after_shard: test hook — raise after committing shard k to
     simulate a killed run (resume covered by tests).
     """
     key = shard_key or fs.resolve_key_feature().keys[0]
+    ts_col = fs.resolve_key_feature().timestamp_col
     phash = plan_hash(fs, n_shards, source_id)
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
 
     done = committed_shards(out_dir, phash) if resume else set()
     prior: dict[int, dict] = {}
     if incremental and resume:
-        d = _lineage_dir(out_dir)
         for k in done:
             try:
                 with open(_shard_record_path(out_dir, k)) as f:
@@ -157,18 +168,34 @@ def backfill(
     in_rows = out_rows = 0
     ran = skipped = 0
 
-    shard_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
-    ts_col = "ts"
+    shard_expr = (
+        F.pmod(F.col(shard_col).cast("long"), F.lit(n_shards))
+        if shard_col
+        else F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
+    )
+    # ONE pass over the source for every shard's row count (+ the
+    # incremental fingerprint fields) — not a per-shard aggregate job.
+    stat_aggs = [F.count(F.lit(1)).alias("n")]
+    if incremental:
+        stat_aggs += [
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("mx"),
+            F.bit_xor(F.xxhash64(F.col(key), F.col(ts_col))).alias("h"),
+        ]
+    stats = {
+        r["_shard"]: r
+        for r in source.groupBy(shard_expr.alias("_shard")).agg(*stat_aggs).collect()
+    }
+
     for k in range(n_shards):
         src_k = source.filter(shard_expr == k)
+        st = stats.get(k)
         fp = None
         if incremental:
-            row = src_k.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max(F.unix_micros(F.col(ts_col))).alias("mx"),
-                F.bit_xor(F.xxhash64(F.col(key), F.col(ts_col))).alias("h"),
-            ).collect()[0]
-            fp = {"n": row["n"], "max_ts_us": row["mx"], "hash": row["h"]}
+            fp = {
+                "n": st["n"] if st else 0,
+                "max_ts_us": st["mx"] if st else None,
+                "hash": st["h"] if st else None,
+            }
             if k in done and prior.get(k, {}).get("fingerprint") == fp:
                 skipped += 1
                 continue
@@ -176,7 +203,7 @@ def backfill(
             skipped += 1
             continue
         t0 = time.perf_counter()
-        n_in = fp["n"] if fp is not None else src_k.count()
+        n_in = st["n"] if st else 0
         out = get_historical(src_k, fs, mode=mode)
         data_path = os.path.join(out_dir, "data", f"shard={k:05d}")
         out.write.mode("overwrite").parquet(data_path)

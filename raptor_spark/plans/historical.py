@@ -66,15 +66,16 @@ def _lag_feature_values(
 def _fusible(spec: FeatureSpec, keys, ts_col: str) -> bool:
     """A feature can join the single-pass fused plan when it reads the
     shared source verbatim (same keys/ts, no re-keying) — filters are
-    fused via conditional aggregates; keep_previous only for unfiltered
-    exprs (a row-lag equals a feature-row-lag only when every row IS a
-    feature row)."""
+    fused via conditional aggregates; filtered keep_previous via
+    ``lag IGNORE NULLS`` (n-th previous update row, not n-th previous
+    source row). keep_previous on an AGGREGATED feature would need a
+    lag over a window column (a second pass) — general path only."""
     return (
         tuple(spec.keys) == tuple(keys)
         and spec.timestamp_col == ts_col
         and spec.keys_expr is None
         and spec.ts_expr is None
-        and not (spec.keep_previous is not None and spec.filter is not None)
+        and not (spec.keep_previous is not None and spec.aggr is not None)
     )
 
 
@@ -208,13 +209,46 @@ def get_historical_fused(
                 key_value = v
             kp = spec.keep_previous
             if kp is not None:
+                vn = vname[spec.name]
+                # update-row ts, null on non-update rows (same null mask
+                # as the value itself) — lets IGNORE NULLS walk updates
+                vts_sql = (
+                    f"CASE WHEN {vn} IS NOT NULL THEN "
+                    f"unix_micros(cast({ts_col} as timestamp)) END"
+                )
                 for n in range(1, kp.versions + 1):
-                    lagged = F.lag(v, n).over(lag_w)
-                    if kp.over_us > 0:
-                        lag_ts = F.lag(tsu, n).over(lag_w)
-                        lagged = F.when(
-                            lag_ts >= tsu - F.lit(n * kp.over_us), lagged
+                    if spec.filter is None:
+                        # total expr: every row is an update → plain lag
+                        lagged = F.lag(v, n).over(lag_w)
+                        if kp.over_us > 0:
+                            lag_ts = F.lag(tsu, n).over(lag_w)
+                            lagged = F.when(
+                                lag_ts >= tsu - F.lit(n * kp.over_us), lagged
+                            )
+                    else:
+                        # filtered expr: versions count UPDATE rows. At a
+                        # row the latest update is itself (v non-null) or
+                        # strictly earlier (v null) — so the n-th version
+                        # before the latest is the n-th / (n+1)-th
+                        # previous non-null respectively.
+                        def _ign(sql: str, off: int):
+                            return F.expr(f"lag({sql}, {off}) ignore nulls").over(
+                                lag_w
+                            )
+
+                        lagged = F.when(v.isNotNull(), _ign(vn, n)).otherwise(
+                            _ign(vn, n + 1)
                         )
+                        if kp.over_us > 0:
+                            pts = F.when(
+                                v.isNotNull(), _ign(vts_sql, n)
+                            ).otherwise(_ign(vts_sql, n + 1))
+                            anchor = F.last(
+                                F.when(v.isNotNull(), tsu), ignorenulls=True
+                            ).over(rows_w)
+                            lagged = F.when(
+                                pts >= anchor - F.lit(n * kp.over_us), lagged
+                            )
                     out_cols.append(lagged.alias(f"{spec.name}_prev{n}"))
 
     out = df.select(
@@ -300,56 +334,84 @@ def get_historical(
     else:
         joined_from_spine = set()
 
-    # union-merge all remaining features in one pass
+    # union-merge all remaining features, ONE as-of pass per KEY FAMILY
+    # (features sharing an entity-key tuple ride the same pass). The
+    # reference's template joins every feature CTE on its encoded KEYS
+    # (featureset.tmpl.sql:104-122) — heterogeneous entities are legal
+    # as long as the spine row carries the foreign key columns.
     from ..operators.asof import asof_join
 
-    spine_tagged = spine
-    fv_frames: list[DataFrame] = []
-    staleness: dict[str, int] = {}
-    value_cols: list[str] = []
+    families: dict[tuple[str, ...], list[tuple[FeatureSpec, list[str]]]] = {}
     for spec in fs.features:
         cols = [c for c in spec.output_columns() if c not in joined_from_spine]
         if not cols:
             continue
-        if tuple(spec.keys) != tuple(keys):
-            raise NotImplementedError(
-                "features with a different entity key require a separate "
-                "as-of pass per key family"
-            )
-        f_src = (sources or {}).get(spec.name, source)
-        if since is not None:
-            pad_us = spec.effective_staleness_us
-            if spec.keep_previous is not None and spec.keep_previous.over_us > 0:
-                pad_us += spec.keep_previous.versions * spec.keep_previous.over_us
-            lo = since - dt.timedelta(microseconds=pad_us)
-            f_src = f_src.filter(F.col(spec.timestamp_col) >= F.lit(lo))
-        if until is not None:
-            f_src = f_src.filter(F.col(spec.timestamp_col) <= F.lit(until))
-        fv = replay_wide(f_src, spec, mode=mode)
-        base_cols = [c for c in fv.columns if c not in (*keys, ts_col)]
-        fv, all_cols = _lag_feature_values(fv, spec, base_cols)
-        fv = fv.select(*keys, ts_col, *[c for c in all_cols if c in cols])
-        fv_frames.append(fv)
-        st = spec.effective_staleness_us
-        for c in cols:
-            # keep_previous columns carry their own age guard; the
-            # staleness cutoff applies to the base value (W4).
-            staleness[c] = 0 if "_prev" in c else st
-        value_cols.extend(c for c in cols if c in fv.columns)
+        families.setdefault(tuple(spec.keys), []).append((spec, cols))
 
-    if not fv_frames:
+    if not families:
         return spine
 
-    # merge all feature-value frames into one long-ish frame by name
-    merged = fv_frames[0]
-    for f in fv_frames[1:]:
-        merged = merged.unionByName(f, allowMissingColumns=True)
+    def _family_feature_values(
+        members: list[tuple[FeatureSpec, list[str]]], fam_keys: tuple[str, ...]
+    ) -> tuple[DataFrame, list[str], dict[str, int]]:
+        fv_frames: list[DataFrame] = []
+        staleness: dict[str, int] = {}
+        value_cols: list[str] = []
+        for spec, cols in members:
+            f_src = (sources or {}).get(spec.name, source)
+            if since is not None:
+                pad_us = spec.effective_staleness_us
+                if spec.keep_previous is not None and spec.keep_previous.over_us > 0:
+                    pad_us += spec.keep_previous.versions * spec.keep_previous.over_us
+                lo = since - dt.timedelta(microseconds=pad_us)
+                f_src = f_src.filter(F.col(spec.timestamp_col) >= F.lit(lo))
+            if until is not None:
+                f_src = f_src.filter(F.col(spec.timestamp_col) <= F.lit(until))
+            fv = replay_wide(f_src, spec, mode=mode)
+            base_cols = [c for c in fv.columns if c not in (*fam_keys, ts_col)]
+            fv, all_cols = _lag_feature_values(fv, spec, base_cols)
+            fv = fv.select(*fam_keys, ts_col, *[c for c in all_cols if c in cols])
+            fv_frames.append(fv)
+            st = spec.effective_staleness_us
+            for c in cols:
+                # keep_previous columns carry their own age guard; the
+                # staleness cutoff applies to the base value (W4).
+                staleness[c] = 0 if "_prev" in c else st
+            value_cols.extend(c for c in cols if c in fv.columns)
+        merged = fv_frames[0]
+        for f in fv_frames[1:]:
+            merged = merged.unionByName(f, allowMissingColumns=True)
+        return merged, value_cols, staleness
 
-    return asof_join(
-        spine_tagged,
-        merged,
-        keys=keys,
-        ts_col=ts_col,
-        value_cols=value_cols,
-        staleness_us=staleness,
-    )
+    # primary family (spine's own keys) merges directly onto the spine
+    out = spine
+    primary = families.pop(tuple(keys), None)
+    if primary is not None:
+        merged, value_cols, staleness = _family_feature_values(primary, tuple(keys))
+        out = asof_join(
+            out, merged, keys=keys, ts_col=ts_col,
+            value_cols=value_cols, staleness_us=staleness,
+        )
+
+    # each foreign family: as-of against the DISTINCT (family-keys, ts)
+    # sub-spine — far smaller than the spine when the foreign entity is
+    # coarser — then an equi-join back on (family-keys, ts). Two
+    # shuffles per family instead of per feature.
+    for fam_keys, members in families.items():
+        missing = [k for k in fam_keys if k not in spine.columns]
+        if missing:
+            raise ValueError(
+                f"feature(s) {[s.name for s, _ in members]} are keyed by "
+                f"{fam_keys} but the spine lacks column(s) {missing}; the "
+                "spine row must carry every foreign entity key it joins on "
+                "(featureset.tmpl.sql joins f.KEYS = key.KEYS)"
+            )
+        sub_spine = out.select(*fam_keys, ts_col).distinct()
+        merged, value_cols, staleness = _family_feature_values(members, fam_keys)
+        fam_out = asof_join(
+            sub_spine, merged, keys=list(fam_keys), ts_col=ts_col,
+            value_cols=value_cols, staleness_us=staleness,
+        )
+        out = out.join(fam_out, on=[*fam_keys, ts_col], how="left")
+
+    return out

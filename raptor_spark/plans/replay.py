@@ -56,13 +56,22 @@ def project_feature(source: DataFrame, spec: FeatureSpec) -> DataFrame:
     value = _eval_expr(df, spec.expr)
     # P6 keys override (3-tuple return, runtime/svc.py:132-142): a
     # keys_expr re-keys the emitted row (e.g. attribute a turn's value
-    # to another entity). Single-key form: the expr value becomes the
-    # (only) key column.
+    # to another entity). Single expr → the only key column; a
+    # sequence of exprs → one per key column (composite re-keying).
     if spec.keys_expr is not None:
-        if len(spec.keys) != 1:
-            raise NotImplementedError("keys_expr override supports one key column")
+        exprs = (
+            list(spec.keys_expr)
+            if isinstance(spec.keys_expr, (list, tuple))
+            else [spec.keys_expr]
+        )
+        if len(exprs) != len(spec.keys):
+            raise ValueError(
+                f"keys_expr provides {len(exprs)} expr(s) for "
+                f"{len(spec.keys)} key column(s) {spec.keys}"
+            )
         key_cols = [
-            _eval_expr(df, spec.keys_expr).cast("string").alias(spec.keys[0])
+            _eval_expr(df, e).cast("string").alias(k)
+            for e, k in zip(exprs, spec.keys)
         ]
     else:
         key_cols = [F.col(k) for k in spec.keys]

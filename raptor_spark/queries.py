@@ -240,6 +240,37 @@ def q_backfill_wide(spark, sf_dir):
     )
 
 
+def q_hetero_keys(spark, sf_dir):
+    """Heterogeneous-key FeatureSet: one as-of pass per KEY FAMILY
+    (featureset.tmpl.sql:104-122 joins every feature on its own encoded
+    KEYS). Spine = every event (carrying both entity keys); features:
+    per-USER trailing 1h count, per-EVENT-TYPE trailing 6h avg. The
+    foreign family runs against the distinct (event_type, ts) sub-spine
+    and equi-joins back."""
+    from .plans.historical import get_historical
+    from .specs import FeatureSetSpec, feature
+
+    ev = _t(spark, sf_dir, "events")
+    fs = FeatureSetSpec(
+        features=[
+            feature("user_cnt_1h", "user_id", "value",
+                    aggr=["count"], over="1h"),
+            feature("type_avg_6h", "event_type", f"cast(value as {DEC})",
+                    aggr=["avg"], over="6h"),
+        ],
+    )
+    spine = ev.select("event_id", "user_id", "event_type", "ts")
+    out = get_historical(ev, fs, spine=spine)
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("user_cnt_1h_count").alias("user_cnt_1h"),
+        F.round("type_avg_6h_avg", 6).alias("type_avg_6h"),
+    )
+
+
 # ------------------------------------------------------------- documents
 
 def q_dedup_exact(spark, sf_dir):
@@ -478,6 +509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "valid_till_1h": q_valid_till_1h,
     "latest_per_key": q_latest_per_key,
     "backfill_wide": q_backfill_wide,
+    "hetero_keys": q_hetero_keys,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -856,6 +888,25 @@ FROM spine s
 ASOF LEFT JOIN last_click lc ON s.user_id = lc.user_id AND lc.ts <= s.ts
 ASOF LEFT JOIN spend sp ON s.user_id = sp.user_id AND sp.ts <= s.ts
 ASOF LEFT JOIN cnt c ON s.user_id = c.user_id AND c.ts <= s.ts
+""",
+    "hetero_keys": f"""
+WITH ucnt AS (
+  SELECT user_id, ts,
+    CAST(count(value) OVER ({_W1H}) AS DOUBLE) AS user_cnt_1h
+  FROM events),
+tavg AS (
+  SELECT event_type, ts,
+    round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          / CAST(count(value) OVER w AS DOUBLE), 6) AS type_avg_6h
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW))
+SELECT s.event_id, s.user_id, s.event_type, s.ts,
+  CASE WHEN u.ts >= s.ts - INTERVAL 1 HOUR THEN u.user_cnt_1h END AS user_cnt_1h,
+  CASE WHEN t.ts >= s.ts - INTERVAL 6 HOUR THEN t.type_avg_6h END AS type_avg_6h
+FROM events s
+ASOF LEFT JOIN ucnt u ON s.user_id = u.user_id AND u.ts <= s.ts
+ASOF LEFT JOIN tavg t ON s.event_type = t.event_type AND t.ts <= s.ts
 """,
     "dedup_exact": f"""
 SELECT md5({_NORM}) AS fp, min(doc_id) AS rep_id, count(*) AS n_dups

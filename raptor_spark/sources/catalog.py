@@ -120,10 +120,14 @@ class Catalog:
         )
 
     # -- read ----------------------------------------------------------
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, with_partition_cols: bool = False) -> DataFrame:
+        """``with_partition_cols=True`` keeps the layout's pbucket/pday
+        columns — pass pbucket as ``backfill(shard_col=...)`` so each
+        shard's scan partition-prunes to 1/n of the files."""
         if self.kind == "iceberg":
             return self.spark.table(self._ident(name))
-        return self.spark.read.parquet(self._path(name)).drop("pbucket", "pday")
+        df = self.spark.read.parquet(self._path(name))
+        return df if with_partition_cols else df.drop("pbucket", "pday")
 
     def read_key_prune(self, name: str, conv_id: str) -> DataFrame:
         """Single-key read using the bucket partition column — prunes to

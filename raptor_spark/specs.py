@@ -100,8 +100,10 @@ class FeatureSpec:
     keep_previous: Optional[KeepPreviousSpec] = None
     # optional pre-filter on the source (e.g. role='tool'); SQL string
     filter: Optional[str] = None
-    # override keys/ts of emitted rows (P6, runtime/svc.py:132-142)
-    keys_expr: Optional[ExprLike] = None
+    # override keys/ts of emitted rows (P6, runtime/svc.py:132-142);
+    # keys_expr may be one ExprLike (single key) or a tuple of ExprLike
+    # matching ``keys`` (composite re-keying)
+    keys_expr: Optional[Union[ExprLike, tuple[ExprLike, ...]]] = None
     ts_expr: Optional[ExprLike] = None
     # sourceless/derived feature (S6: decorators.py:367-368,
     # internal/plugins/builders/sourceless/sourceless.go; dependency

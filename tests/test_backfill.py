@@ -102,6 +102,47 @@ def test_backfill_incremental_recomputes_changed_shards(spark, tmp_path_factory)
     assert got == want
 
 
+def test_backfill_pbucket_sharding_prunes_and_matches(spark, src, tmp_path_factory):
+    """Catalog-laid-out source + shard_col=pbucket: each shard's scan
+    carries a PartitionFilter on pbucket (reads ~1/n of the files
+    instead of re-scanning the full source per shard), the shard
+    assignment equals key-hash sharding (n_buckets % n_shards == 0),
+    and a key-hash checkpoint resumes under pbucket sharding."""
+    from pyspark.sql import functions as F
+
+    from raptor_spark.sources.catalog import Catalog
+
+    root = str(tmp_path_factory.mktemp("cat"))
+    cat = Catalog(spark, root=root, n_buckets=2 * N_SHARDS)
+    cat.write_transcripts(src, "transcripts")
+    laid_out = cat.read("transcripts", with_partition_cols=True)
+
+    out = str(tmp_path_factory.mktemp("bf_pb"))
+    fs = transcript_feature_set()
+    res = backfill(spark, laid_out, fs, out, n_shards=N_SHARDS,
+                   shard_col="pbucket", source_id="t")
+    assert res.shards_run == N_SHARDS
+
+    # the shard predicate must reach the scan as a PartitionFilter
+    shard0 = laid_out.filter(
+        F.pmod(F.col("pbucket").cast("long"), F.lit(N_SHARDS)) == 0
+    )
+    plan = shard0._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "pbucket" in pf.group(1)
+
+    got = _collect_sorted(read_backfill(spark, out))
+    want = _collect_sorted(get_historical(src, fs))
+    assert got == want
+
+    # same assignment as key-hash sharding → a resume run WITHOUT
+    # shard_col skips every committed shard
+    res2 = backfill(spark, src, fs, out, n_shards=N_SHARDS, source_id="t")
+    assert res2.shards_skipped == N_SHARDS and res2.shards_run == 0
+
+
 def test_backfill_plan_change_invalidates(spark, src, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("bf_inval"))
     fs = transcript_feature_set()

@@ -44,9 +44,10 @@ def test_fused_since_until(spark):
     assert ts and all(since <= t <= until for t in ts)
 
 
-def test_non_fusible_falls_back(spark):
-    """A feature with filter + keep_previous must use the general
-    path (fused gate) and still compute."""
+def test_filtered_keep_previous_fuses_and_matches_general(spark):
+    """filter + keep_previous now joins the fused plan (lag IGNORE
+    NULLS walks update rows): one shuffle, same rows as the general
+    union-merge path."""
     from raptor_spark.specs import FeatureSetSpec, feature
 
     fs = FeatureSetSpec(
@@ -55,7 +56,33 @@ def test_non_fusible_falls_back(spark):
                     staleness="1h"),
             feature("last_tool_len", "conv_id", "cast(length(text) as double)",
                     staleness="2h", filter="role = 'tool'",
-                    keep_previous=(1, "2h")),
+                    keep_previous=(2, "2h")),
+            feature("last_user_len", "conv_id", "cast(length(text) as double)",
+                    filter="role = 'user'",
+                    keep_previous=(1, "0")),
+        ],
+        key_feature="turn_len",
+    )
+    src = transcripts(spark, n_convs=20).cache()
+    fused = get_historical(src, fs)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan and plan.count("Exchange") == 1
+    general = get_historical(src, fs, fuse=False)
+    assert sorted(fused.columns) == sorted(general.columns)
+    assert _rows(fused) == _rows(general)
+
+
+def test_aggr_keep_previous_falls_back(spark):
+    """keep_previous on an aggregated feature needs a second window
+    pass — must take the general union-merge path and still compute."""
+    from raptor_spark.specs import FeatureSetSpec, feature
+
+    fs = FeatureSetSpec(
+        features=[
+            feature("turn_len", "conv_id", "cast(length(text) as double)",
+                    staleness="1h"),
+            feature("chars_1h", "conv_id", "cast(length(text) as double)",
+                    aggr=["sum"], over="1h", keep_previous=(1, "0")),
         ],
         key_feature="turn_len",
     )
@@ -64,3 +91,4 @@ def test_non_fusible_falls_back(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan  # general union-merge path
     assert out.count() == src.count()
+    assert "chars_1h_sum_prev1" in out.columns

@@ -107,6 +107,49 @@ def test_get_historical_custom_spine_and_range(spark, transcripts_pair):
     assert wide["chars_1h_sum"].notna().all()
 
 
+def test_heterogeneous_key_families(spark, transcripts_pair):
+    """Features keyed by a DIFFERENT entity than the spine run their
+    own as-of pass (per key family) and join back on (keys, ts). The
+    spine must carry the foreign key column (here: role)."""
+    sdf, pdf = transcripts_pair
+    role_len = feature(
+        "role_len", "role", "cast(length(text) as double)", staleness="30m"
+    )
+    fs = FeatureSetSpec(features=[TURN_LEN, role_len], key_feature="turn_len")
+    spine = sdf.select("conv_id", "role", "ts")
+    wide = (
+        get_historical(sdf, fs, spine=spine)
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert {"conv_id", "role", "ts", "turn_len", "role_len"} <= set(wide.columns)
+    assert len(wide) == len(pdf)
+    # oracle: per-ROLE as-of of length (staleness 30m), pandas
+    fvp = pdf.assign(role_len=pdf["text"].str.len().astype(float))
+    exp = wide[["role", "ts"]].copy()
+    exp["role_len"] = asof_backward(
+        exp, fvp, ["role"], "ts", "role_len", pd.Timedelta(minutes=30)
+    )
+    a = wide["role_len"].astype(float).values
+    b = exp["role_len"].astype(float).values
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    assert np.allclose(a[~np.isnan(a)], b[~np.isnan(b)])
+
+
+def test_heterogeneous_key_missing_spine_column_raises(spark, transcripts_pair):
+    import pytest
+
+    sdf, _ = transcripts_pair
+    role_len = feature(
+        "role_len", "role", "cast(length(text) as double)", staleness="30m"
+    )
+    fs = FeatureSetSpec(features=[TURN_LEN, role_len], key_feature="turn_len")
+    spine = sdf.select("conv_id", "ts")  # lacks 'role'
+    with pytest.raises(ValueError, match="spine lacks column"):
+        get_historical(sdf, fs, spine=spine)
+
+
 def test_keep_previous_in_historical(spark, transcripts_pair):
     sdf, pdf = transcripts_pair
     fs = FeatureSetSpec(features=[TURNS_10M, PREV_ROLE], key_feature="turns_10m")

@@ -28,6 +28,38 @@ def test_keys_expr_rekeys(spark):
     assert n == src.count()
 
 
+def test_keys_expr_composite_rekeys(spark):
+    """Multi-key re-keying: one expr per key column (the reference's
+    composite-key dict return, runtime/svc.py:132-142)."""
+    src = transcripts(spark, 6)
+    spec = FeatureSpec(
+        name="len_by_role_tool",
+        keys=("role", "tool_bucket"),
+        expr="cast(length(text) as double)",
+        keys_expr=("role", "coalesce(tool, 'none')"),
+    )
+    fv = replay(src, spec)
+    keys = {r["keys"] for r in fv.select("keys").distinct().collect()}
+    # encoded as 'role;tool' (';'.join, types/feature.py:259-266)
+    assert all(";" in k for k in keys)
+    assert any(k.endswith(";none") for k in keys)
+    assert fv.count() == src.count()
+
+
+def test_keys_expr_arity_mismatch_raises(spark):
+    import pytest
+
+    src = transcripts(spark, 2)
+    spec = FeatureSpec(
+        name="bad",
+        keys=("a", "b"),
+        expr="1.0",
+        keys_expr="role",
+    )
+    with pytest.raises(ValueError, match="keys_expr provides 1"):
+        replay(src, spec).count()
+
+
 def test_pandas_udf_feature(spark):
     """The escape hatch for handlers Column exprs can't express:
     a vectorized (Arrow-batched) pandas_udf as the feature expr —
