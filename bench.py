@@ -29,10 +29,12 @@ from raptor_spark.queries import QUERIES
 # Headline set: flagship backfill + each operator family at sf0.1.
 HEADLINE = [
     "backfill_wide",        # PIT as-of merge of 3 features (flagship)
+    "hetero_keys",          # two key families, per-family as-of passes
     "pit_asof_join",        # J1 single-feature as-of
     "window_multi_24h",     # A1-A3 exact sliding window
     "window_distinct_6h",   # A5 exact distinct window
     "window_approx_distinct_6h",  # A6 HLL two-phase
+    "hll_accuracy",         # A6 exact-vs-HLL error gate
     "two_phase_1h_10m",     # A8 bucketed two-phase (scale path)
     "salted_user_stats",    # salted two-level skew agg
     "lag_lead",             # W2/W6

@@ -129,6 +129,30 @@ def q_window_approx_distinct_6h(spark, sf_dir):
     )
 
 
+def q_hll_accuracy(spark, sf_dir):
+    """A6 with teeth: the bucketed HLL estimate is computed NEXT TO the
+    exact distinct count over identical 6h/30m bucket windows, and the
+    query emits ``hll_ok`` = (relative error ≤ 5%). The DuckDB oracle
+    reproduces the exact count and asserts ``TRUE AS hll_ok`` — so an
+    HLL drift beyond the bound turns the driver row red (the estimate
+    itself stays engine-specific and is not compared). Reference
+    aliases approx→exact locally (labsdk/raptor/types/feature.py:73-74)."""
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_agg_bucketed(
+        ev, ["user_id"], "ts", "event_type", 6 * HOUR_US, 30 * 60 * 1_000_000,
+        ["distinct_count", "approx_distinct_count"],
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.col("distinct_count").alias("dcnt_exact"),
+        (
+            F.abs(F.col("approx_distinct_count") - F.col("distinct_count"))
+            <= 0.05 * F.col("distinct_count")
+        ).alias("hll_ok"),
+    )
+
+
 def q_salted_user_stats(spark, sf_dir):
     """Skew lever as a query: two-level salted aggregation per user
     (partials per (user, salt) → merge), equal to a plain groupBy —
@@ -500,6 +524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_multi_24h": q_window_multi_24h,
     "window_distinct_6h": q_window_distinct_6h,
     "window_approx_distinct_6h": q_window_approx_distinct_6h,
+    "hll_accuracy": q_hll_accuracy,
     "two_phase_1h_10m": q_two_phase_1h_10m,
     "salted_user_stats": q_salted_user_stats,
     "lag_lead": q_lag_lead,
@@ -789,6 +814,19 @@ SELECT user_id,
   round(CAST(sum(s) OVER w AS DOUBLE), 6) AS sum_1h
 FROM p
 WINDOW w AS (PARTITION BY user_id ORDER BY bucket RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+""",
+    "hll_accuracy": """
+WITH r AS (
+  SELECT user_id, epoch_us(ts) // 1800000000 AS bucket, event_type FROM events),
+pairs AS (SELECT DISTINCT user_id, bucket, event_type FROM r),
+ends AS (SELECT DISTINCT user_id, bucket FROM r)
+SELECT e.user_id,
+  make_timestamp((e.bucket + 1) * 1800000000) AS ts,
+  CAST(count(DISTINCT p.event_type) AS DOUBLE) AS dcnt_exact,
+  TRUE AS hll_ok
+FROM ends e JOIN pairs p
+  ON p.user_id = e.user_id AND p.bucket BETWEEN e.bucket - 11 AND e.bucket
+GROUP BY e.user_id, e.bucket
 """,
     "salted_user_stats": """
 SELECT user_id,

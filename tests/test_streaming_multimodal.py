@@ -18,6 +18,71 @@ def _sorted_rows(df, cols):
     return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
 
 
+class TestStreamSource:
+    def test_kafka_option_mapping(self):
+        """Reference StreamingConfig surface → Spark Kafka options
+        (dsrc_config_stubs/streaming.py:52-66)."""
+        from raptor_spark.sources.streams import StreamSourceConfig, kafka_options
+
+        cfg = StreamSourceConfig(
+            brokers="b1:9092,b2:9092",
+            topics="turns",
+            consumer_group="raptor",
+            client_id="c1",
+            sasl_username="u",
+            sasl_password="p",
+            tls_disable=False,
+            initial_offset="earliest",
+            extra_options={"maxOffsetsPerTrigger": "10000"},
+        )
+        opts = kafka_options(cfg)
+        assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+        assert opts["subscribe"] == "turns"
+        assert opts["startingOffsets"] == "earliest"
+        assert opts["kafka.group.id"] == "raptor"
+        assert opts["kafka.security.protocol"] == "SASL_SSL"
+        assert 'username="u"' in opts["kafka.sasl.jaas.config"]
+        assert opts["maxOffsetsPerTrigger"] == "10000"
+
+    def test_kafka_absent_raises_clear_error(self, spark):
+        from raptor_spark.sources.streams import (
+            StreamSourceConfig,
+            kafka_available,
+            read_stream,
+        )
+
+        assert not kafka_available(spark)  # sandbox has no kafka jar
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            read_stream(
+                spark, StreamSourceConfig(topics="t"), "conv_id string, ts timestamp"
+            )
+
+    def test_file_stream_through_config(self, spark, tmp_path):
+        """kind='file' builds the same streaming plan the parity tests
+        exercise — read_stream is a drop-in front door."""
+        from raptor_spark.sources.streams import StreamSourceConfig, read_stream
+        from raptor_spark.streaming.windows import (
+            run_stream_to_memory,
+            stream_bucket_partials,
+        )
+
+        src = transcripts(spark, n_convs=4).select(
+            "conv_id", "ts", F.length("text").cast("double").alias("value")
+        )
+        path = str(tmp_path / "ev")
+        src.write.parquet(path)
+        stream = read_stream(
+            spark,
+            StreamSourceConfig(kind="file", path=path),
+            "conv_id string, ts timestamp, value double",
+        )
+        assert stream.isStreaming
+        partials = stream_bucket_partials(stream, ["conv_id"], "ts", "value")
+        run_stream_to_memory(partials, "cfg_stream_buckets")
+        got = spark.table("cfg_stream_buckets")
+        assert got.count() > 0
+
+
 class TestStreaming:
     def test_stream_buckets_match_batch_two_phase(self, spark, tmp_path):
         """File-source stream (availableNow) → watermarked bucket
