@@ -70,23 +70,28 @@ def brute_force_topk(
     )
 
 
-def _plane_coeff(plane: int, dim: int) -> list[float]:
+def _plane_coeff(plane: int, dim: int, plane_set: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane coefficients in [-1, 1]
-    derived from md5 — reproducible across engines/runs."""
+    derived from md5 — reproducible across engines/runs. ``plane_set``
+    salts an independent family of planes (set 0 keeps the original
+    derivation for oracle compatibility)."""
     import hashlib
 
+    tag = f"plane:{plane}" if plane_set == 0 else f"set{plane_set}:plane:{plane}"
     out = []
     for j in range(dim):
-        h = hashlib.md5(f"plane:{plane}:{j}".encode()).hexdigest()
+        h = hashlib.md5(f"{tag}:{j}".encode()).hexdigest()
         out.append(int(h[:15], 16) / float(16**15) * 2 - 1)
     return out
 
 
-def lsh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def lsh_signature(
+    vec: Column, dim: int, n_planes: int = 8, plane_set: int = 0
+) -> Column:
     """Random-hyperplane signature as an int (bit i = sign of v·plane_i)."""
     sig = F.lit(0)
     for p in range(n_planes):
-        coeff = _plane_coeff(p, dim)
+        coeff = _plane_coeff(p, dim, plane_set)
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -107,23 +112,54 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     n_planes: int = 8,
+    n_plane_sets: int = 1,
+    max_bucket: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: only pairs
     whose random-hyperplane signatures are EQUAL are scored (one
     equi-join shuffle on the bucket id — never all-pairs), then exact
     cosine filters at ``threshold``. Returns (id_a, id_b, cos_sim).
 
-    At 10⁹+ rows this is the standard near-dup recipe: equal-signature
-    blocking keeps candidate counts ~linear; raise n_planes to shrink
-    buckets, run multiple plane-sets for recall."""
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    Scale levers (the 10⁹-row tuning):
+    - ``n_planes``: bucket count is 2^n_planes — raise it so the mean
+      bucket is small (n_planes ≈ log2(n_rows / target_bucket)); at
+      10⁹ rows use ≥ 20 planes, not the default 8 (which caps at 256
+      buckets and makes the in-bucket join quadratic).
+    - ``n_plane_sets``: OR-construction for recall — each extra
+      independent plane family re-buckets the corpus and unions the
+      candidate pairs (more planes cut recall per set; more sets win
+      it back, like MinHash bands).
+    - ``max_bucket``: drop buckets larger than this before the
+      self-join (0 = uncapped) — a degenerate bucket (e.g. zero
+      vectors) otherwise puts O(n²) pairs in one task.
+    """
+    parts = []
+    for s in range(n_plane_sets):
+        parts.append(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                lsh_signature(F.col(vec_col), dim, n_planes, plane_set=s).alias(
+                    "bucket"
+                ),
+                F.lit(s).alias("_pset"),
+            )
+        )
+    sig = parts[0]
+    for p in parts[1:]:
+        sig = sig.unionByName(p)
+    if max_bucket > 0:
+        # bucket sizes ride the same shuffle the join needs anyway
+        sig = (
+            sig.withColumn(
+                "_bn", F.count(F.lit(1)).over(W.partitionBy("_pset", "bucket"))
+            )
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(b, "bucket")
+    pairs = (
+        a.join(b, ["_pset", "bucket"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
@@ -132,6 +168,10 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    if n_plane_sets > 1:
+        # a pair found by several sets has identical cos_sim — dedup
+        pairs = pairs.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
+    return pairs
 
 
 def ivf_topk(
