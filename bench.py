@@ -54,6 +54,7 @@ HEADLINE = [
     "embedding_neardup",    # LSH-blocked cosine near-dup
     "ann_lsh",              # bucketed approximate top-k
     "ann_ivf",              # IVF-Flat inverted lists
+    "ann_ivf_kmeans",       # IVF with trained (Lloyd) centroids
     "pricing_summary",      # TPC-H Q1-style agg
     "revenue_by_nation",    # multi-table broadcast join
     "topk_orders_per_cust", # window top-k

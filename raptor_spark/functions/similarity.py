@@ -174,6 +174,76 @@ def embedding_neardup_pairs(
     return pairs
 
 
+def kmeans_fit(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1 << 20,
+) -> list[list[float]]:
+    """Deterministic distributed Lloyd k-means for IVF centroids.
+
+    Engine-portable determinism (the whole point — the DuckDB oracle
+    replays the identical iterations):
+    - init: the first ``k`` corpus vectors by id (fixed training
+      sample);
+    - assignment: argmax cosine with ties to the LOWEST centroid id —
+      raw double cosine, same left-to-right fold both engines;
+    - update: per-dimension mean via EXACT integer partial sums
+      (components quantized ``floor(v * quant)`` to BIGINT — double
+      summation order can never change the result), divided and
+      ``round(_, 6)`` INSIDE Spark SQL so half-up rounding matches
+      ANSI SQL; empty clusters keep their previous centroid.
+
+    The per-iteration driver collect is k rows of k centroids — small
+    by definition; all heavy work (assignment scan + per-dim sums) is
+    distributed and map-side combined. Returns centroids as a list
+    indexed by centroid id.
+    """
+    v = F.col(vec_col)
+    init = (
+        df.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("_cid"), v.alias("_c"))
+        .orderBy("_cid")
+        .collect()
+    )
+    cents: list[list[float]] = [list(map(float, r["_c"])) for r in init]
+    for _ in range(iters):
+        structs = [
+            F.struct(
+                cosine(v, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                F.lit(-ci).alias("nc"),
+            )
+            for ci, c in enumerate(cents)
+        ]
+        assigned = df.select(
+            v.alias("_v"), (-F.array_max(F.array(*structs))["nc"]).alias("cid")
+        )
+        sums = [
+            F.sum(F.floor(F.col("_v")[j].cast("double") * quant)).alias(f"s{j}")
+            for j in range(dim)
+        ]
+        rows = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .select(
+                "cid",
+                *[
+                    F.round(
+                        F.col(f"s{j}") / F.lit(float(quant)) / F.col("n"), 6
+                    ).alias(f"c{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for r in rows:
+            cents[r["cid"]] = [r[f"c{j}"] for j in range(dim)]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -182,24 +252,30 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: partition the corpus into inverted
     lists by nearest centroid; queries scan only their ``n_probe``
     nearest lists.
 
-    Centroid selection here is the deterministic skeleton — the first
-    ``n_centroids`` corpus vectors by id (a fixed "training sample");
-    production swaps in k-means trained centroids without touching the
-    plan shape. Assignment and probing are exact argmin over the
-    broadcast centroid set: one narrow corpus scan + one equi-join on
-    the list id — the standard shape at 10⁹+ rows (centroids always
-    broadcastable; lists shard the shuffle).
+    Default centroid selection is the deterministic skeleton — the
+    first ``n_centroids`` corpus vectors by id (a fixed "training
+    sample"); pass ``centroids`` (e.g. from ``kmeans_fit``) to use
+    trained ones — the plan shape is identical. Assignment and probing
+    are exact argmin over the broadcast centroid set: one narrow corpus
+    scan + one equi-join on the list id — the standard shape at 10⁹+
+    rows (centroids always broadcastable; lists shard the shuffle).
     """
-    cents = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids).select(
+    if centroids is not None:
+        cents_src = corpus.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "_cid int, _cent array<double>",
+        )
+    else:
+        cents_src = corpus.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cent")
         )
-    )
+    cents = F.broadcast(cents_src)
 
     def nearest_lists(df, idc, vecc, n):
         scored = df.crossJoin(cents).select(

@@ -454,6 +454,25 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF-Flat with TRAINED centroids: 2 deterministic Lloyd
+    iterations (integer-quantized per-dim partial sums, argmax-cosine
+    assignment with lowest-cid tiebreak) over 8 lists, then the same
+    probe/scan plan as ann_ivf. The DuckDB oracle replays the identical
+    iterations, so the trained centroids — not just the plan — are
+    correctness-gated."""
+    from .functions.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, dim=64, k=8, iters=2)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    return ivf_topk(
+        emb, queries, k=3, n_probe=2, centroids=cents
+    ).select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ----------------------------------------------------------- tpch-style
 
 def q_pricing_summary(spark, sf_dir):
@@ -549,6 +568,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "topk_orders_per_cust": q_topk_orders_per_cust,
@@ -738,6 +758,81 @@ def _ann_ivf_sql() -> str:
     return f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cent FROM embeddings WHERE vec_id < 16),
+lists AS (
+  SELECT neighbor_id, cv, cid FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {raw_cent} DESC, c.cid) AS r
+    FROM embeddings e CROSS JOIN cents c) WHERE r = 1),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {raw_q} DESC, c.cid) AS r
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id >= 100 AND q.vec_id < 105) WHERE r <= 2),
+scored AS (
+  SELECT p.query_id, l.neighbor_id, max({cos_pair}) AS cos_sim
+  FROM lists l JOIN probes p ON l.cid = p.cid
+  WHERE l.neighbor_id != p.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def _kmeans_cents_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                      quant: int = 1 << 20) -> str:
+    """CTE chain replaying kmeans_fit's deterministic Lloyd iterations:
+    assignment by raw-cosine argmax (ties → lowest cid), per-dim mean
+    via exact BIGINT sums of floor(v*quant), round(_,6), empty cluster
+    keeps its previous centroid. Final centroids CTE: cents(cid, cent)."""
+    cos = _COS_SQL.format(a="e.embedding", b="c.cent")
+    raw = cos.replace("round(\n", "(\n").replace(",\n    6)", ")")
+    parts = [
+        f"c0 AS (\n  SELECT vec_id AS cid, embedding AS cent "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        sum_cols = ",\n    ".join(
+            f"sum(CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) * {quant}) "
+            f"AS BIGINT)) AS s{j}"
+            for j in range(dim)
+        )
+        comp_cols = ",\n     ".join(
+            f"coalesce(round(CAST(m.s{j} AS DOUBLE) / {quant}.0 / m.n, 6), "
+            f"CAST(c.cent[{j + 1}] AS DOUBLE))"
+            for j in range(dim)
+        )
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {raw} DESC, c.cid) AS r
+    FROM embeddings e CROSS JOIN {prev} c) WHERE r = 1),
+m{it} AS (
+  SELECT cid, count(*) AS n,
+    {sum_cols}
+  FROM a{it} GROUP BY cid),
+c{it} AS (
+  SELECT c.cid,
+    [{comp_cols}] AS cent
+  FROM {prev} c LEFT JOIN m{it} m ON m.cid = c.cid)""")
+    parts.append(f"cents AS (SELECT cid, cent FROM c{iters})")
+    return ",\n".join(parts)
+
+
+def _ann_ivf_kmeans_sql() -> str:
+    cos_cent = _COS_SQL.format(a="e.embedding", b="c.cent")
+    cos_q = _COS_SQL.format(a="q.embedding", b="c.cent")
+    cos_pair = _COS_SQL.format(a="p.qv", b="l.cv")
+    raw_cent = cos_cent.replace("round(\n", "(\n").replace(",\n    6)", ")")
+    raw_q = cos_q.replace("round(\n", "(\n").replace(",\n    6)", ")")
+    return f"""
+WITH {_kmeans_cents_sql(8, 2, 64)},
 lists AS (
   SELECT neighbor_id, cv, cid FROM (
     SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cid,
@@ -1024,6 +1119,7 @@ FROM f
     "embedding_neardup": _embedding_neardup_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ann_ivf_sql(),
+    "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),
     "ngram_jaccard": f"""
 WITH docs AS (SELECT doc_id, source, {_NORM} AS norm FROM documents),
 toks AS (SELECT doc_id, source, norm, string_split(norm, ' ') AS w FROM docs),

@@ -65,6 +65,50 @@ def test_max_bucket_drops_degenerate_bucket(spark):
     assert uncapped_n >= 200 * 199 // 2
 
 
+def test_kmeans_centroids_deterministic_and_useful(spark):
+    """kmeans_fit: identical centroids across physical layouts
+    (quantized integer sums), and trained-IVF recall beats the
+    first-k-ids skeleton on clustered data."""
+    import numpy as np
+
+    from raptor_spark.functions.similarity import ivf_topk, kmeans_fit
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, DIM))
+    rows = []
+    for c in range(8):
+        for i in range(25):
+            v = centers[c] + 0.05 * rng.normal(size=DIM)
+            rows.append((c * 25 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    c1 = kmeans_fit(df, DIM, k=8, iters=2)
+    c2 = kmeans_fit(df.repartition(7), DIM, k=8, iters=2)
+    assert c1 == c2  # bit-exact under repartitioning
+
+    queries = df.filter(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=3).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                df, queries, k=3, n_probe=1, n_centroids=8, centroids=cents
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_trained = recall(c1)
+    r_skeleton = recall(None)
+    # first-8-ids skeleton = 8 centroids from ONE cluster → poor lists;
+    # trained centroids separate the clusters
+    assert r_trained >= 0.9
+    assert r_trained > r_skeleton
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     """Multi-probe LSH top-k recovers the exact top-k when the corpus
     HAS locality (tight clusters). Uniform-random vectors have no
