@@ -29,6 +29,7 @@ from raptor_spark.queries import QUERIES
 # Headline set: flagship backfill + each operator family at sf0.1.
 HEADLINE = [
     "backfill_wide",        # PIT as-of merge of 3 features (flagship)
+    "api_backfill",         # decorator API + handler AST compile
     "hetero_keys",          # two key families, per-family as-of passes
     "pit_asof_join",        # J1 single-feature as-of
     "window_multi_24h",     # A1-A3 exact sliding window

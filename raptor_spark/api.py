@@ -1,0 +1,261 @@
+"""LabSDK-compatible decorator surface (the reference's public API,
+re-expressed Spark-first).
+
+Mirrors ``/root/reference/labsdk/raptor/decorators.py``:
+``@feature`` (364-527), ``@aggregation`` (290-338), ``@freshness``
+(121-162), ``@keep_previous`` (339-361), ``@namespace`` (75-92),
+``@model`` (532-648 — here: the ``features_and_labels`` half).
+
+The handler body compiles to a Catalyst Column program at DEFINITION
+time (``raptor_spark.program``) — per-row Python never runs. A handler
+that reads other features via ``ctx.get_feature`` becomes a DERIVED
+feature (dependencies extracted from the AST, the plan-level
+realization of the reference's dependency discovery).
+
+Usage (identical shape to the reference's README example)::
+
+    @feature(keys='user_id', data_source='events')
+    @freshness(max_age='2h', max_stale='2h')
+    def last_click(this_row, ctx) -> float:
+        if this_row['event_type'] == 'click':
+            return this_row['value']
+        return None
+
+    @model(keys='user_id', input_features=[last_click], input_labels=[])
+    def my_model(ctx): ...
+
+    df = my_model.features_and_labels(spark, sources={'events': ev})
+
+Decorator ORDER follows the reference: ``@feature`` is outermost
+(applied last); the inner decorators attach options to the function,
+``@feature`` consumes them into a FeatureSpec.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .durations import parse_duration_us
+from .plans.historical import get_historical
+from .plans.replay import replay as _replay_long
+from .program import compile_handler
+from .selector import DEFAULT_NAMESPACE
+from .specs import AggrSpec, FeatureSetSpec, FeatureSpec, KeepPreviousSpec
+
+_OPTS_ATTR = "_raptor_opts"
+
+
+def _opts(fn: Callable) -> dict:
+    if not hasattr(fn, _OPTS_ATTR):
+        setattr(fn, _OPTS_ATTR, {})
+    return getattr(fn, _OPTS_ATTR)
+
+
+def namespace(ns: str):
+    """@namespace — decorators.py:75-92."""
+
+    def deco(fn):
+        _opts(fn)["namespace"] = ns
+        return fn
+
+    return deco
+
+
+def freshness(
+    max_age: Union[str, dt.timedelta],
+    max_stale: Optional[Union[str, dt.timedelta]] = None,
+    timeout: Optional[Union[str, dt.timedelta]] = None,
+):
+    """@freshness — decorators.py:121-162. ``max_age`` → freshness,
+    ``max_stale`` → staleness (defaults to max_age). ``timeout`` is an
+    online-serving knob — accepted for source compatibility, no batch
+    effect."""
+
+    def deco(fn):
+        _opts(fn)["freshness"] = parse_duration_us(max_age)
+        _opts(fn)["staleness"] = parse_duration_us(
+            max_age if max_stale is None else max_stale
+        )
+        return fn
+
+    return deco
+
+
+def aggregation(
+    function: Union[str, Sequence[str]],
+    over: Union[str, dt.timedelta, None],
+    granularity: Union[str, dt.timedelta, None] = None,
+):
+    """@aggregation — decorators.py:290-338. Granularity defaults to
+    the window span (one bucket) when omitted."""
+    fns = [function] if isinstance(function, str) else list(function)
+
+    def deco(fn):
+        over_us = parse_duration_us(over)
+        gran_us = parse_duration_us(granularity) if granularity else over_us
+        _opts(fn)["aggr"] = AggrSpec(tuple(fns), over_us, gran_us)
+        return fn
+
+    return deco
+
+
+def keep_previous(versions: int, over: Union[str, dt.timedelta]):
+    """@keep_previous — decorators.py:339-361."""
+
+    def deco(fn):
+        _opts(fn)["keep_previous"] = KeepPreviousSpec(
+            versions, parse_duration_us(over)
+        )
+        return fn
+
+    return deco
+
+
+@dataclass
+class Feature:
+    """The wrapped handler @feature returns — carries the compiled
+    spec and the reference's replay() surface (decorators.py:400-410:
+    raptor_spec / replay / manifest)."""
+
+    spec: FeatureSpec
+    data_source: Optional[str]
+    handler: Callable
+
+    @property
+    def raptor_spec(self) -> FeatureSpec:
+        return self.spec
+
+    @property
+    def fqn(self) -> str:
+        return self.spec.fqn
+
+    def replay(self, df: DataFrame, mode: str = "exact") -> DataFrame:
+        """Local batch replay over training data → the canonical long
+        feature-values frame (labsdk replay.py:78-152)."""
+        return _replay_long(df, self.spec, mode=mode)
+
+    def __call__(self, *args, **kwargs):
+        raise TypeError(
+            f"feature '{self.spec.name}' compiled to a Spark Column program; "
+            "it does not execute per-row — use .replay(df) or a FeatureSet"
+        )
+
+
+def feature(
+    keys: Union[str, Sequence[str]],
+    name: Optional[str] = None,
+    data_source: Optional[str] = None,
+    sourceless_markers_df=None,
+):
+    """@feature — decorators.py:364-527. The handler AST compiles to a
+    Column program; ``ctx.get_feature`` reads become derived-feature
+    dependencies (sourceless when ``data_source`` is None)."""
+    key_tuple = (keys,) if isinstance(keys, str) else tuple(keys)
+
+    def deco(fn):
+        opts = _opts(fn) if hasattr(fn, _OPTS_ATTR) else {}
+        prog = compile_handler(fn)
+        deps = prog.dependencies
+        spec = FeatureSpec(
+            name=name or fn.__name__,
+            keys=key_tuple,
+            expr=prog,
+            namespace=opts.get("namespace", DEFAULT_NAMESPACE),
+            freshness_us=opts.get("freshness", 0),
+            staleness_us=opts.get("staleness", 0),
+            aggr=opts.get("aggr"),
+            keep_previous=opts.get("keep_previous"),
+            derived_inputs=deps if (deps and data_source is None) else None,
+            # `return None` paths make the expr its own filter — the
+            # fused plan must not treat the value as total
+            expr_may_be_null=prog.may_be_null,
+        )
+        if deps and data_source is not None:
+            raise ValueError(
+                f"handler '{spec.name}' reads features via ctx.get_feature — "
+                "it is a derived (sourceless) feature; drop data_source"
+            )
+        return Feature(spec=spec, data_source=data_source, handler=fn)
+
+    return deco
+
+
+@dataclass
+class Model:
+    """@model's training-side surface: features_and_labels() — the
+    historical PIT dataset (decorators.py:614-621, replay.py:303-366)."""
+
+    fs: FeatureSetSpec
+    sources_by_feature: dict[str, str]
+
+    @property
+    def raptor_spec(self) -> FeatureSetSpec:
+        return self.fs
+
+    def features_and_labels(
+        self,
+        spark: SparkSession,
+        sources: dict[str, DataFrame],
+        since: Optional[dt.datetime] = None,
+        until: Optional[dt.datetime] = None,
+        mode: str = "exact",
+    ) -> DataFrame:
+        """Wide PIT training frame. ``sources`` maps data-source name →
+        DataFrame (the batch stand-in for the registered sources)."""
+        by_feature: dict[str, DataFrame] = {}
+        default_src: Optional[DataFrame] = None
+        for fname, sname in self.sources_by_feature.items():
+            if sname not in sources:
+                raise KeyError(
+                    f"feature '{fname}' needs data source '{sname}' — "
+                    f"got {sorted(sources)}"
+                )
+            by_feature[fname] = sources[sname]
+            default_src = sources[sname]
+        if default_src is None:
+            raise ValueError("model has no sourced features")
+        return get_historical(
+            default_src, self.fs, since=since, until=until,
+            sources=by_feature, mode=mode,
+        )
+
+
+def model(
+    keys: Union[str, Sequence[str]],
+    input_features: Sequence[Union[str, Feature]],
+    input_labels: Sequence[Union[str, Feature]] = (),
+    key_feature: Optional[Union[str, Feature]] = None,
+    model_framework: Optional[str] = None,
+    model_server: Optional[str] = None,
+    name: Optional[str] = None,
+):
+    """@model — decorators.py:532-648 (training half: the feature set
+    + features_and_labels; serving plumbing is out of batch scope)."""
+
+    def _name(f) -> str:
+        return f.spec.name if isinstance(f, Feature) else str(f)
+
+    def deco(fn):
+        feats = [f for f in (*input_features, *input_labels)]
+        specs = []
+        srcs: dict[str, str] = {}
+        for f in feats:
+            if not isinstance(f, Feature):
+                raise TypeError(
+                    f"model inputs must be @feature objects, got {f!r} — "
+                    "string FQN resolution needs a registry; pass the object"
+                )
+            specs.append(f.spec)
+            if f.data_source is not None:
+                srcs[f.spec.name] = f.data_source
+        fs = FeatureSetSpec(
+            features=specs,
+            key_feature=_name(key_feature) if key_feature else None,
+        )
+        return Model(fs=fs, sources_by_feature=srcs)
+
+    return deco

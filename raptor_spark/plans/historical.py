@@ -63,6 +63,14 @@ def _lag_feature_values(
     return out, all_cols
 
 
+def _expr_total(spec: FeatureSpec) -> bool:
+    """True when the feature's value is non-null at EVERY source row —
+    no ``filter`` and the expr itself has no null paths (a compiled
+    handler with `return None` sets ``expr_may_be_null``). Total exprs
+    skip the publish/forward-fill machinery in the fused plan."""
+    return spec.filter is None and not spec.expr_may_be_null
+
+
 def _fusible(spec: FeatureSpec, keys, ts_col: str) -> bool:
     """A feature can join the single-pass fused plan when it reads the
     shared source verbatim (same keys/ts, no re-keying) — filters are
@@ -166,7 +174,7 @@ def get_historical_fused(
                 .orderBy(tsu)
                 .rangeBetween(-(a.over_us - 1), 0)
             )
-            if spec.filter is None:
+            if _expr_total(spec):
                 # total expr: every row is an update → the anchored
                 # window IS the as-of value; no fill/guard machinery
                 # (halves the buffered window columns). Unfiltered
@@ -190,7 +198,7 @@ def get_historical_fused(
                 )
         else:
             st = spec.effective_staleness_us
-            if spec.filter is not None:
+            if not _expr_total(spec):
                 filled = F.last(v, ignorenulls=True).over(rows_w)
                 upd_ts = F.last(
                     F.when(v.isNotNull(), tsu), ignorenulls=True
@@ -217,7 +225,7 @@ def get_historical_fused(
                     f"unix_micros(cast({ts_col} as timestamp)) END"
                 )
                 for n in range(1, kp.versions + 1):
-                    if spec.filter is None:
+                    if _expr_total(spec):
                         # total expr: every row is an update → plain lag
                         lagged = F.lag(v, n).over(lag_w)
                         if kp.over_us > 0:
@@ -305,6 +313,11 @@ def get_historical(
     key_feature = fs.resolve_key_feature()
     keys = key_feature.keys
     ts_col = "ts"
+
+    if sources is not None and all(s is source for s in sources.values()):
+        # every feature reads the same frame → eligible for the fused
+        # single-pass plan (the decorator API always passes `sources`)
+        sources = None
 
     if (
         fuse

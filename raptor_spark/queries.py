@@ -264,6 +264,57 @@ def q_backfill_wide(spark, sf_dir):
     )
 
 
+def q_api_backfill(spark, sf_dir):
+    """The LabSDK-compatible decorator surface end-to-end: handlers are
+    plain Python (this_row/ctx, branching, None returns) COMPILED to
+    Catalyst Column programs at definition time (raptor_spark.program),
+    assembled by @model into the fused single-pass PIT plan. Mirrors
+    decorators.py:364-527 + program.py:210-322 behavior with zero
+    per-row Python."""
+    from . import api
+
+    @api.feature(keys="user_id", data_source="events")
+    @api.freshness(max_age="2h", max_stale="2h")
+    def purchase_id(this_row, ctx) -> int:
+        if this_row["event_type"] == "purchase":
+            return this_row["event_id"]
+        return None
+
+    @api.feature(keys="user_id", data_source="events")
+    @api.freshness(max_age="2h", max_stale="2h")
+    def last_click(this_row, ctx) -> float:
+        if this_row["event_type"] == "click":
+            return this_row["value"]
+        return None
+
+    @api.feature(keys="user_id", data_source="events")
+    @api.aggregation(function=["count"], over="6h")
+    def clicks_6h(this_row, ctx) -> float:
+        if this_row["event_type"] == "click":
+            return 1.0
+        return None
+
+    @api.feature(keys="user_id", data_source="events")
+    @api.aggregation(function=["max"], over="24h")
+    def max_value_24h(this_row, ctx) -> float:
+        return this_row["value"]
+
+    @api.model(
+        keys="user_id",
+        input_features=[purchase_id, last_click, clicks_6h, max_value_24h],
+        key_feature=purchase_id,
+    )
+    def purchase_model(ctx):
+        pass
+
+    ev = _t(spark, sf_dir, "events")
+    out = purchase_model.features_and_labels(spark, sources={"events": ev})
+    return out.select(
+        "user_id", "ts", "purchase_id", "last_click",
+        "clicks_6h_count", "max_value_24h_max",
+    )
+
+
 def q_hetero_keys(spark, sf_dir):
     """Heterogeneous-key FeatureSet: one as-of pass per KEY FAMILY
     (featureset.tmpl.sql:104-122 joins every feature on its own encoded
@@ -553,6 +604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "valid_till_1h": q_valid_till_1h,
     "latest_per_key": q_latest_per_key,
     "backfill_wide": q_backfill_wide,
+    "api_backfill": q_api_backfill,
     "hetero_keys": q_hetero_keys,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -1021,6 +1073,34 @@ FROM spine s
 ASOF LEFT JOIN last_click lc ON s.user_id = lc.user_id AND lc.ts <= s.ts
 ASOF LEFT JOIN spend sp ON s.user_id = sp.user_id AND sp.ts <= s.ts
 ASOF LEFT JOIN cnt c ON s.user_id = c.user_id AND c.ts <= s.ts
+""",
+    "api_backfill": """
+WITH spine AS (
+  SELECT user_id, ts, CAST(event_id AS BIGINT) AS purchase_id
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+ccnt AS (
+  SELECT user_id, ts,
+    CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      AS clicks_6h_count
+  FROM events WHERE event_type = 'click'),
+mx AS (
+  SELECT user_id, ts,
+    max(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+      AS max_value_24h_max
+  FROM events)
+SELECT s.user_id, s.ts, s.purchase_id,
+  CASE WHEN lc.ts >= s.ts - INTERVAL 2 HOUR THEN lc.value END AS last_click,
+  CASE WHEN c.ts >= s.ts - INTERVAL 6 HOUR THEN c.clicks_6h_count END
+    AS clicks_6h_count,
+  CASE WHEN m.ts >= s.ts - INTERVAL 24 HOUR THEN m.max_value_24h_max END
+    AS max_value_24h_max
+FROM spine s
+ASOF LEFT JOIN clicks lc ON s.user_id = lc.user_id AND lc.ts <= s.ts
+ASOF LEFT JOIN ccnt c ON s.user_id = c.user_id AND c.ts <= s.ts
+ASOF LEFT JOIN mx m ON s.user_id = m.user_id AND m.ts <= s.ts
 """,
     "hetero_keys": f"""
 WITH ucnt AS (

@@ -100,6 +100,11 @@ class FeatureSpec:
     keep_previous: Optional[KeepPreviousSpec] = None
     # optional pre-filter on the source (e.g. role='tool'); SQL string
     filter: Optional[str] = None
+    # the expr itself can evaluate to NULL (it ENCODES a filter — e.g.
+    # a compiled handler with `return None` paths). Plans must then use
+    # the publish/forward-fill machinery instead of assuming a total
+    # value at every row, exactly as with ``filter``.
+    expr_may_be_null: bool = False
     # override keys/ts of emitted rows (P6, runtime/svc.py:132-142);
     # keys_expr may be one ExprLike (single key) or a tuple of ExprLike
     # matching ``keys`` (composite re-keying)
@@ -213,7 +218,11 @@ class FeatureSetSpec:
         resolution, done once at plan build). Raises on cycles or
         unknown inputs."""
         derived = [f for f in self.features if f.derived_inputs is not None]
+        # a dependency may name the feature OR one of its wide output
+        # columns (e.g. 'turns_10m_count' — the '+count' selector form)
         ready = {f.name for f in self.base_features()}
+        for f in self.base_features():
+            ready.update(f.output_columns())
         out: list[FeatureSpec] = []
         pending = list(derived)
         while pending:
