@@ -202,6 +202,8 @@ def kmeans_fit(
     distributed and map-side combined. Returns centroids as a list
     indexed by centroid id.
     """
+    import math
+
     v = F.col(vec_col)
     init = (
         df.filter(F.col(id_col) < k)
@@ -211,36 +213,53 @@ def kmeans_fit(
     )
     cents: list[list[float]] = [list(map(float, r["_c"])) for r in init]
     for _ in range(iters):
+        # stage the row norm ONCE (own select so it is evaluated once,
+        # not re-inlined per centroid) and fold each centroid's norm to
+        # a Python constant — same sqrt(Σx²) sequential sum as the SQL
+        # oracle, so cosine bits are unchanged, but the assignment expr
+        # shrinks ~2x (codegen) and the norm fold runs 1x per row, not k
+        staged = df.select(v.alias("_v"), norm(v).alias("_vn"))
+        sv, svn = F.col("_v"), F.col("_vn")
+
+        def _cos_lit(c: list[float]) -> Column:
+            cn = math.sqrt(sum(x * x for x in c))
+            d = svn * F.lit(cn)
+            num = dot(sv, F.array(*[F.lit(float(x)) for x in c]))
+            return F.when(d > 0, num / d).otherwise(F.lit(0.0))
+
         structs = [
-            F.struct(
-                cosine(v, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
-                F.lit(-ci).alias("nc"),
-            )
+            F.struct(_cos_lit(c).alias("d"), F.lit(-ci).alias("nc"))
             for ci, c in enumerate(cents)
         ]
-        assigned = df.select(
-            v.alias("_v"), (-F.array_max(F.array(*structs))["nc"]).alias("cid")
+        assigned = staged.select(
+            "_v", (-F.array_max(F.array(*structs))["nc"]).alias("cid")
         )
-        sums = [
-            F.sum(F.floor(F.col("_v")[j].cast("double") * quant)).alias(f"s{j}")
-            for j in range(dim)
-        ]
+        # per-dim sums via posexplode → ONE narrow (cid, pos) aggregate
+        # instead of `dim` wide aggregate columns: identical integer
+        # math, but the generated plan is tiny (a dim-wide aggregate
+        # pays seconds of codegen PER ITERATION since the centroid
+        # literals change each round)
         rows = (
-            assigned.groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("x").cast("double") * quant)).alias("s"),
+            )
             .select(
                 "cid",
-                *[
-                    F.round(
-                        F.col(f"s{j}") / F.lit(float(quant)) / F.col("n"), 6
-                    ).alias(f"c{j}")
-                    for j in range(dim)
-                ],
+                "pos",
+                F.round(F.col("s") / F.lit(float(quant)) / F.col("n"), 6).alias(
+                    "c"
+                ),
             )
             .collect()
         )
+        by_cid: dict[int, dict[int, float]] = {}
         for r in rows:
-            cents[r["cid"]] = [r[f"c{j}"] for j in range(dim)]
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+        for cid, comps in by_cid.items():
+            cents[cid] = [comps[j] for j in range(dim)]
     return cents
 
 
