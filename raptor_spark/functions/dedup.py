@@ -115,6 +115,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     max_bucket: int = 10_000,
     observation=None,
+    two_pass: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -131,6 +132,15 @@ def minhash_lsh_pairs(
     as ``observation`` to read the dropped-bucket count + dropped-doc
     total after the action (metrics ``dropped_buckets``,
     ``dropped_docs``) — no extra job, collected during the same pass.
+
+    ``two_pass=True`` — the 100 TB shape: the single-pass cap still
+    BUILDS every bucket's id array before filtering (collect_list has
+    no cap), so a bucket with ~10⁶+ members can exhaust one task's
+    memory before the filter runs. The two-pass variant first counts
+    bucket sizes (count-only aggregate, map-side combined, no arrays),
+    LEFT ANTI joins the over-cap (band, bsig) keys out of the banded
+    rows, and only then collects — no oversized array ever
+    materializes. Costs one extra shuffle of (band, bsig, count) rows.
     """
     rows = k // bands
     # staged selects: shingle → md5-hash (expensive, once per shingle)
@@ -180,6 +190,21 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bsig")
+    if two_pass and max_bucket > 0:
+        sizes = banded.groupBy("band", "bsig").agg(F.count(F.lit(1)).alias("_n"))
+        hot = sizes.filter(F.col("_n") > max_bucket).select("band", "bsig")
+        if observation is not None:
+            hot_obs = sizes.observe(
+                observation,
+                F.coalesce(
+                    F.sum((F.col("_n") > max_bucket).cast("long")), F.lit(0)
+                ).alias("dropped_buckets"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_n") > max_bucket, F.col("_n"))), F.lit(0)
+                ).alias("dropped_docs"),
+            )
+            hot = hot_obs.filter(F.col("_n") > max_bucket).select("band", "bsig")
+        banded = banded.join(hot, ["band", "bsig"], "left_anti")
     # bucket-collect instead of a self-join: ONE shuffle on the band
     # signature, signatures computed once, pairs emitted locally per
     # bucket (each doc appears at most once per bucket). Size the
@@ -194,13 +219,12 @@ def minhash_lsh_pairs(
             F.array_sort(F.collect_list("_id")).alias("ids"),
         )
     )
-    if max_bucket > 0:
+    if max_bucket > 0 and not two_pass:
         # Spark lacks a capped collect_list, so the array is still built
         # per bucket; the filter drops giant arrays before the explode
         # stage where the quadratic pair blow-up would happen. If even
-        # building the array is too much (>~1e6 ids in one bucket), run
-        # the two-pass variant: count-only pass → anti-join out hot
-        # (band, bsig) keys → collect pass.
+        # building the array is too much (>~1e6 ids in one bucket), use
+        # two_pass=True (anti-join the hot keys out before collecting).
         if observation is not None:
             buckets = buckets.observe(
                 observation,

@@ -113,6 +113,9 @@ def _lit(v) -> Column:
 def _compile_expr(node: ast.expr, c: _Ctx) -> Column:
     if isinstance(node, ast.Constant):
         if node.value is None:
+            # a None anywhere in the value expression (e.g. the else
+            # branch of a ternary) makes the program non-total
+            c.may_be_null = True
             return F.lit(None)
         return _lit(node.value)
     if isinstance(node, ast.Subscript):  # this_row['col']

@@ -108,9 +108,13 @@ class TestProgramCompiler:
             if this_row["role"] == "tool":
                 return 1.0
 
+        def ternary_null(this_row, ctx) -> float:
+            return 1.0 if this_row["role"] == "tool" else None
+
         assert compile_handler(partial).may_be_null
         assert not compile_handler(total).may_be_null
         assert compile_handler(fall_off).may_be_null
+        assert compile_handler(ternary_null).may_be_null
 
 
 class TestDecoratorSurface:

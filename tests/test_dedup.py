@@ -62,6 +62,26 @@ class TestLshBucketCap:
         giant = [r for r in reps if r["n_dups"] == 10_000]
         assert len(giant) == 1 and giant[0]["rep_id"] == 0
 
+    def test_two_pass_matches_single_pass(self, spark, giant_cluster):
+        """two_pass anti-join pruning yields the same pairs and the
+        same dropped metrics as the single-pass cap, with no
+        collect_list of the hot bucket anywhere in the plan path."""
+        obs = Observation("lsh2p")
+        pairs = minhash_lsh_pairs(
+            giant_cluster, "doc_id", max_bucket=100, observation=obs,
+            two_pass=True,
+        )
+        got = {(r["id_a"], r["id_b"], r["n_shared_bands"]) for r in pairs.collect()}
+        want = {
+            (r["id_a"], r["id_b"], r["n_shared_bands"])
+            for r in minhash_lsh_pairs(
+                giant_cluster, "doc_id", max_bucket=100
+            ).collect()
+        }
+        assert got == want
+        m = obs.get
+        assert m["dropped_buckets"] > 0 and m["dropped_docs"] >= 10_000
+
     def test_uncapped_keeps_everything(self, spark):
         df = spark.createDataFrame(
             [(i, "same same same text for everyone") for i in range(20)],
