@@ -43,10 +43,15 @@ from .durations import parse_duration_us
 from .plans.historical import get_historical
 from .plans.replay import replay as _replay_long
 from .program import compile_handler
-from .selector import DEFAULT_NAMESPACE
+from .selector import DEFAULT_NAMESPACE, parse_selector
 from .specs import AggrSpec, FeatureSetSpec, FeatureSpec, KeepPreviousSpec
 
 _OPTS_ATTR = "_raptor_opts"
+
+# definition registry: @feature registers under fqn AND bare name so
+# @model can take string selectors ('ns.name+fn@-N') like the reference
+# (decorators.py input_features=['total_spend+sum'])
+_REGISTRY: dict[str, "Feature"] = {}
 
 
 def _opts(fn: Callable) -> dict:
@@ -179,7 +184,10 @@ def feature(
                 f"handler '{spec.name}' reads features via ctx.get_feature — "
                 "it is a derived (sourceless) feature; drop data_source"
             )
-        return Feature(spec=spec, data_source=data_source, handler=fn)
+        feat = Feature(spec=spec, data_source=data_source, handler=fn)
+        _REGISTRY[spec.fqn] = feat
+        _REGISTRY[spec.name] = feat
+        return feat
 
     return deco
 
@@ -187,10 +195,13 @@ def feature(
 @dataclass
 class Model:
     """@model's training-side surface: features_and_labels() — the
-    historical PIT dataset (decorators.py:614-621, replay.py:303-366)."""
+    historical PIT dataset (decorators.py:614-621, replay.py:303-366).
+    ``selected_columns``: the wide output columns the model's selectors
+    picked (all outputs when inputs were Feature objects)."""
 
     fs: FeatureSetSpec
     sources_by_feature: dict[str, str]
+    selected_columns: Optional[list[str]] = None
 
     @property
     def raptor_spec(self) -> FeatureSetSpec:
@@ -218,10 +229,17 @@ class Model:
             default_src = sources[sname]
         if default_src is None:
             raise ValueError("model has no sourced features")
-        return get_historical(
+        out = get_historical(
             default_src, self.fs, since=since, until=until,
             sources=by_feature, mode=mode,
         )
+        if self.selected_columns is not None:
+            keys = list(self.fs.resolve_key_feature().keys)
+            keep = keys + ["ts"] + [
+                c for c in self.selected_columns if c not in keys
+            ]
+            out = out.select(*dict.fromkeys(keep))
+        return out
 
 
 def model(
@@ -240,22 +258,55 @@ def model(
         return f.spec.name if isinstance(f, Feature) else str(f)
 
     def deco(fn):
-        feats = [f for f in (*input_features, *input_labels)]
-        specs = []
+        specs: list[FeatureSpec] = []
         srcs: dict[str, str] = {}
-        for f in feats:
-            if not isinstance(f, Feature):
-                raise TypeError(
-                    f"model inputs must be @feature objects, got {f!r} — "
-                    "string FQN resolution needs a registry; pass the object"
+        selected: list[str] = []
+        any_selector = False
+
+        def _add(f):
+            nonlocal any_selector
+            if isinstance(f, Feature):
+                if all(s.name != f.spec.name for s in specs):
+                    specs.append(f.spec)
+                    if f.data_source is not None:
+                        srcs[f.spec.name] = f.data_source
+                selected.extend(
+                    c for c in f.spec.output_columns() if c not in selected
                 )
-            specs.append(f.spec)
-            if f.data_source is not None:
-                srcs[f.spec.name] = f.data_source
+                return
+            # string selector: '[ns.]name[+fn][@-N]' resolved from the
+            # definition registry (the reference resolves FQN strings
+            # the same way, decorators.py feature_obj_resolver)
+            sel = parse_selector(str(f))
+            feat = _REGISTRY.get(sel.fqn) or _REGISTRY.get(sel.name)
+            if feat is None:
+                raise KeyError(
+                    f"selector '{f}' does not match any @feature definition"
+                )
+            col = sel.column
+            if col not in feat.spec.output_columns():
+                raise ValueError(
+                    f"selector '{f}' resolves to column '{col}' but feature "
+                    f"'{feat.spec.name}' produces {feat.spec.output_columns()}"
+                )
+            any_selector = True
+            if all(s.name != feat.spec.name for s in specs):
+                specs.append(feat.spec)
+                if feat.data_source is not None:
+                    srcs[feat.spec.name] = feat.data_source
+            if col not in selected:
+                selected.append(col)
+
+        for f in (*input_features, *input_labels):
+            _add(f)
         fs = FeatureSetSpec(
             features=specs,
             key_feature=_name(key_feature) if key_feature else None,
         )
-        return Model(fs=fs, sources_by_feature=srcs)
+        return Model(
+            fs=fs,
+            sources_by_feature=srcs,
+            selected_columns=selected if any_selector else None,
+        )
 
     return deco

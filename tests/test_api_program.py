@@ -189,6 +189,48 @@ class TestDecoratorSurface:
             row["turn_len"] / max(row["turns_10m_count"], 1.0)
         )
 
+    def test_model_string_selectors(self, spark):
+        """input_features as FQN selector strings ('name+fn', '@-N')
+        resolved from the definition registry; the output is projected
+        to exactly the selected columns."""
+
+        @feature(keys="conv_id", data_source="transcripts")
+        @freshness(max_age="1h")
+        @keep_previous(versions=1, over="1h")
+        def sel_turn_len(this_row, ctx) -> float:
+            return len(this_row["text"])
+
+        @feature(keys="conv_id", data_source="transcripts")
+        @aggregation(function=["count", "sum"], over="10m")
+        def sel_turns(this_row, ctx) -> float:
+            return 1.0
+
+        @model(
+            keys="conv_id",
+            input_features=["sel_turn_len", "sel_turns+count", "sel_turn_len@-1"],
+            key_feature="sel_turn_len",
+        )
+        def m(ctx):
+            pass
+
+        src = transcripts(spark, 5)
+        wide = m.features_and_labels(spark, sources={"transcripts": src})
+        assert wide.columns == [
+            "conv_id", "ts", "sel_turn_len", "sel_turns_count",
+            "sel_turn_len_prev1",
+        ]
+        assert wide.count() == src.count()
+
+    def test_model_selector_errors(self):
+        @feature(keys="conv_id", data_source="transcripts")
+        def sel_plain(this_row, ctx) -> float:
+            return len(this_row["text"])
+
+        with pytest.raises(KeyError, match="does not match"):
+            model(keys="conv_id", input_features=["no_such_feature"])(lambda ctx: 0)
+        with pytest.raises(ValueError, match="produces"):
+            model(keys="conv_id", input_features=["sel_plain+sum"])(lambda ctx: 0)
+
     def test_derived_with_data_source_rejected(self):
         with pytest.raises(ValueError, match="derived"):
             @feature(keys="conv_id", data_source="transcripts")
