@@ -49,6 +49,7 @@ HEADLINE = [
     "dup_clusters",         # connected components of dup pairs
     "simhash_dedup",        # SimHash near-dup groups
     "token_freq",           # BPE-ish tokenize + corpus top-k
+    "repetition",           # intra-doc n-gram repetition ratio
     "media_features",       # multimodal mapInPandas plumbing
     "media_frames",         # video frame-sample fan-out
     "knn_cosine",           # brute-force ANN baseline

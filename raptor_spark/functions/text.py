@@ -70,6 +70,34 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     )
 
 
+def repetition_stats(text: Column | str, n: int = 3) -> tuple[Column, Column]:
+    """Intra-document n-gram repetition: ``(n_grams, rep_ratio)`` where
+    rep_ratio = 1 − distinct/total word n-grams (0 for docs shorter
+    than n words). High values flag boilerplate/looped generations —
+    a standard training-data quality filter. Pure Column exprs (one
+    split + one transform per row, JVM-side)."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    toks = F.split(norm, " ")
+    k = F.size(toks) - (n - 1)
+    # only referenced inside the k > 0 branch below (CaseWhen evaluates
+    # branches lazily, so sequence(1, k) never sees k <= 0)
+    sh = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    n_grams = F.when(k > 0, k).otherwise(F.lit(0)).cast("int")
+    ratio = F.when(
+        k > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(sh)).cast("double") / k.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return n_grams, ratio
+
+
 def quality_score(text: Column | str) -> Column:
     """Heuristic document quality in [0,1]: rewards alphabetic content
     and reasonable length, penalizes shouting and punctuation walls.

@@ -406,6 +406,18 @@ def q_simhash_dedup(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Intra-doc 3-gram repetition ratio (boilerplate / looped-output
+    filter): rep_ratio = 1 − distinct/total word trigrams."""
+    from .functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    n_grams, ratio = repetition_stats("text", 3)
+    return docs.select(
+        "doc_id", n_grams.alias("n_grams"), ratio.alias("rep_ratio")
+    )
+
+
 _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
@@ -614,6 +626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "simhash_dedup": q_simhash_dedup,
     "token_freq": q_token_freq,
+    "repetition": q_repetition,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "knn_cosine": q_knn_cosine,
@@ -1163,6 +1176,19 @@ FROM h
     "minhash_lsh": _minhash_sql(),
     "dup_clusters": _dup_clusters_sql(),
     "simhash_dedup": _simhash_sql(),
+    "repetition": f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+SELECT doc_id,
+  CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS INT) AS n_grams,
+  CASE WHEN len(w) >= 3
+    THEN round(1.0 - CAST(len(list_distinct(
+           list_transform(generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+         / (len(w) - 2), 6)
+    ELSE 0.0 END AS rep_ratio
+FROM toks
+""",
     "token_freq": f"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
