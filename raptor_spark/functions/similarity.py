@@ -206,11 +206,13 @@ def kmeans_fit(
 
     v = F.col(vec_col)
     init = (
-        df.filter(F.col(id_col) < k)
-        .select(F.col(id_col).alias("_cid"), v.alias("_c"))
+        df.select(F.col(id_col).alias("_cid"), v.alias("_c"))
         .orderBy("_cid")
+        .limit(k)
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(f"kmeans_fit: need >= {k} rows, got {len(init)}")
     cents: list[list[float]] = [list(map(float, r["_c"])) for r in init]
     for _ in range(iters):
         # stage the row norm ONCE (own select so it is evaluated once,
