@@ -1,0 +1,126 @@
+"""Online feature store analog (S10 / SURVEY §3.3) — batch/stream
+materialization of the LATEST feature vector per entity key.
+
+The reference serves online gets from Redis state maintained by the
+runtime (``/root/reference/internal/plugins/providers/state/redis``,
+``/root/reference/runtime/runtime/svc.py`` get path): per (fqn, keys)
+the freshest value wins, and a value older than the feature's
+``max_stale`` serves as None (``labsdk/raptor/types/feature.py:73-74``
+freshness semantics). Spark-first analog:
+
+- ``materialize``: collapse a feature-values frame (the canonical
+  (fqn, keys, ts, value) long relation from ``plans.replay``) to the
+  newest row per (fqn, keys) — one hash shuffle, ``max_by``-style via
+  the existing latest-per-key window — written as parquet partitioned
+  by fqn (per-feature file pruning, the reference's per-FQN Redis
+  keyspace analog).
+- ``upsert``: append new feature values; reads re-collapse to latest
+  (log-structured — compaction happens on ``compact()``; a real
+  deployment maps this to Iceberg MERGE or a KV sink).
+- ``get``: the serving call — latest values for one entity across
+  requested features, with the staleness cutoff applied at read time
+  against ``as_of`` (event-time now).
+- ``upsert_stream``: Structured Streaming sink via foreachBatch —
+  each micro-batch appends its rows; the same read path serves them.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .operators.tsutil import micros
+
+
+class OnlineStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- write ---------------------------------------------------------
+    def materialize(self, fv: DataFrame, mode: str = "overwrite") -> None:
+        """Collapse to latest per (fqn, keys) and write, partitioned by
+        fqn. fv: the canonical long relation (fqn, keys, ts, value)."""
+        self._latest(fv).write.mode(mode).partitionBy("fqn").parquet(self.path)
+
+    def upsert(self, fv: DataFrame) -> None:
+        """Log-structured append — newest row wins at read time."""
+        fv.write.mode("append").partitionBy("fqn").parquet(self.path)
+
+    def upsert_stream(self, fv_stream: DataFrame, checkpoint: str):
+        """Streaming upsert: every micro-batch appends its rows (the
+        streaming analog of the runtime's per-event Redis SET)."""
+        return (
+            fv_stream.writeStream.foreachBatch(
+                lambda batch, _id: self.upsert(batch)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def compact(self) -> None:
+        """Rewrite the log to one row per (fqn, keys) — the cleanup
+        MERGE analog (snowflake/create.go:36-60)."""
+        latest = self._latest(self.spark.read.parquet(self.path)).cache()
+        latest.count()  # materialize before overwriting the source
+        latest.write.mode("overwrite").partitionBy("fqn").parquet(self.path)
+        latest.unpersist()
+
+    # -- read ----------------------------------------------------------
+    def _latest(self, fv: DataFrame) -> DataFrame:
+        w = W.partitionBy("fqn", "keys").orderBy(F.col("ts").desc())
+        return (
+            fv.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def read_latest(self, fqns: Optional[Sequence[str]] = None) -> DataFrame:
+        df = self.spark.read.parquet(self.path)
+        if fqns:
+            df = df.filter(F.col("fqn").isin(list(fqns)))  # partition prune
+        return self._latest(df)
+
+    def get(
+        self,
+        fqns: Sequence[str],
+        keys: str,
+        as_of: Optional[dt.datetime] = None,
+        staleness_us: Optional[dict[str, int]] = None,
+    ) -> dict[str, object]:
+        """Serving read: {fqn: value} for one encoded entity key.
+        A value older than its feature's staleness (relative to
+        ``as_of``) serves as None (feature.py:73-74); missing features
+        serve as None."""
+        df = self.read_latest(fqns).filter(F.col("keys") == keys)
+        rows = {r["fqn"]: r for r in df.collect()}
+        out: dict[str, object] = {}
+        for fqn in fqns:
+            r = rows.get(fqn)
+            if r is None:
+                out[fqn] = None
+                continue
+            st = (staleness_us or {}).get(fqn, 0)
+            if st and as_of is not None:
+                age = (as_of - r["ts"]).total_seconds() * 1e6
+                if age > st:
+                    out[fqn] = None
+                    continue
+            out[fqn] = r["value"]
+        return out
+
+
+def online_from_historical(
+    store: OnlineStore, fv_frames: Sequence[DataFrame]
+) -> None:
+    """Bootstrap the online table from replayed feature-values frames
+    (the reference's historical→online backfill path)."""
+    merged = fv_frames[0]
+    for f in fv_frames[1:]:
+        merged = merged.unionByName(f)
+    store.materialize(merged)
