@@ -121,13 +121,57 @@ def keep_previous(versions: int, over: Union[str, dt.timedelta]):
 
 
 @dataclass
+class DataSource:
+    """@data_source's wrapped class — decorators.py:185-289. Carries
+    the training DataFrame, entity keys, and timestamp column; the
+    optional ``production_config`` is the broker stub
+    (``sources.streams.StreamSourceConfig`` plays that role here)."""
+
+    name: str
+    training_data: Optional[DataFrame]
+    keys: tuple[str, ...]
+    timestamp: str
+    schema: dict
+    production_config: object = None
+
+    @property
+    def raptor_spec(self) -> "DataSource":
+        return self
+
+
+def data_source(
+    training_data: Optional[DataFrame] = None,
+    keys: Union[str, Sequence[str], None] = None,
+    name: Optional[str] = None,
+    timestamp: str = "ts",
+    production_config: object = None,
+):
+    """@data_source — decorators.py:185-289. Wraps a (TypedDict-style)
+    class whose annotations declare the production schema; features
+    bound to it validate their handler's column reads against that
+    schema at DEFINITION time."""
+
+    def deco(cls):
+        return DataSource(
+            name=name or cls.__name__,
+            training_data=training_data,
+            keys=(keys,) if isinstance(keys, str) else tuple(keys or ()),
+            timestamp=timestamp,
+            schema=dict(getattr(cls, "__annotations__", {})),
+            production_config=production_config,
+        )
+
+    return deco
+
+
+@dataclass
 class Feature:
     """The wrapped handler @feature returns — carries the compiled
     spec and the reference's replay() surface (decorators.py:400-410:
     raptor_spec / replay / manifest)."""
 
     spec: FeatureSpec
-    data_source: Optional[str]
+    data_source: Optional[Union[str, DataSource]]
     handler: Callable
 
     @property
@@ -153,22 +197,40 @@ class Feature:
 def feature(
     keys: Union[str, Sequence[str]],
     name: Optional[str] = None,
-    data_source: Optional[str] = None,
+    data_source: Optional[Union[str, DataSource]] = None,
     sourceless_markers_df=None,
 ):
     """@feature — decorators.py:364-527. The handler AST compiles to a
     Column program; ``ctx.get_feature`` reads become derived-feature
-    dependencies (sourceless when ``data_source`` is None)."""
+    dependencies (sourceless when ``data_source`` is None). A
+    ``DataSource`` object binds the feature to its timestamp column and
+    validates the handler's column reads against the declared schema
+    at definition time (the reference validates in production)."""
     key_tuple = (keys,) if isinstance(keys, str) else tuple(keys)
 
     def deco(fn):
         opts = _opts(fn) if hasattr(fn, _OPTS_ATTR) else {}
         prog = compile_handler(fn)
         deps = prog.dependencies
+        ts_col = "ts"
+        if isinstance(data_source, DataSource):
+            ts_col = data_source.timestamp
+            if data_source.schema:
+                unknown = [
+                    col for col in prog.columns if col not in data_source.schema
+                ]
+                if unknown:
+                    raise ValueError(
+                        f"handler '{name or fn.__name__}' reads column(s) "
+                        f"{unknown} not declared by data source "
+                        f"'{data_source.name}' "
+                        f"(schema: {sorted(data_source.schema)})"
+                    )
         spec = FeatureSpec(
             name=name or fn.__name__,
             keys=key_tuple,
             expr=prog,
+            timestamp_col=ts_col,
             namespace=opts.get("namespace", DEFAULT_NAMESPACE),
             freshness_us=opts.get("freshness", 0),
             staleness_us=opts.get("staleness", 0),
@@ -200,7 +262,7 @@ class Model:
     picked (all outputs when inputs were Feature objects)."""
 
     fs: FeatureSetSpec
-    sources_by_feature: dict[str, str]
+    sources_by_feature: dict[str, Union[str, DataSource]]
     selected_columns: Optional[list[str]] = None
 
     @property
@@ -210,23 +272,34 @@ class Model:
     def features_and_labels(
         self,
         spark: SparkSession,
-        sources: dict[str, DataFrame],
+        sources: Optional[dict[str, DataFrame]] = None,
         since: Optional[dt.datetime] = None,
         until: Optional[dt.datetime] = None,
         mode: str = "exact",
     ) -> DataFrame:
         """Wide PIT training frame. ``sources`` maps data-source name →
-        DataFrame (the batch stand-in for the registered sources)."""
+        DataFrame; a feature bound to a ``DataSource`` OBJECT falls
+        back to that object's ``training_data`` when the dict has no
+        override for its name."""
         by_feature: dict[str, DataFrame] = {}
         default_src: Optional[DataFrame] = None
-        for fname, sname in self.sources_by_feature.items():
-            if sname not in sources:
-                raise KeyError(
-                    f"feature '{fname}' needs data source '{sname}' — "
-                    f"got {sorted(sources)}"
-                )
-            by_feature[fname] = sources[sname]
-            default_src = sources[sname]
+        for fname, src in self.sources_by_feature.items():
+            if isinstance(src, DataSource):
+                df = (sources or {}).get(src.name, src.training_data)
+                if df is None:
+                    raise KeyError(
+                        f"feature '{fname}': data source '{src.name}' has no "
+                        "training_data and no override was passed"
+                    )
+            else:
+                if not sources or src not in sources:
+                    raise KeyError(
+                        f"feature '{fname}' needs data source '{src}' — "
+                        f"got {sorted(sources or {})}"
+                    )
+                df = sources[src]
+            by_feature[fname] = df
+            default_src = df
         if default_src is None:
             raise ValueError("model has no sourced features")
         out = get_historical(

@@ -92,6 +92,8 @@ class CompiledProgram:
     dependencies: tuple[str, ...] = ()
     cast_to: Optional[str] = None
     may_be_null: bool = False
+    # source columns the handler reads (this_row[...] accesses)
+    columns: tuple[str, ...] = ()
 
     def __call__(self, df: DataFrame) -> Column:
         col = self.builder(df)
@@ -104,6 +106,7 @@ class _Ctx:
     ctx_arg: Optional[str]
     deps: list[str] = field(default_factory=list)
     may_be_null: bool = False
+    cols: list[str] = field(default_factory=list)
 
 
 def _lit(v) -> Column:
@@ -125,6 +128,8 @@ def _compile_expr(node: ast.expr, c: _Ctx) -> Column:
             and isinstance(node.slice, ast.Constant)
             and isinstance(node.slice.value, str)
         ):
+            if node.slice.value not in c.cols:
+                c.cols.append(node.slice.value)
             return F.col(node.slice.value)
         raise ProgramError(
             f"only {c.row_arg}['col'] subscripts are compilable "
@@ -132,6 +137,8 @@ def _compile_expr(node: ast.expr, c: _Ctx) -> Column:
         )
     if isinstance(node, ast.Attribute):  # this_row.col
         if isinstance(node.value, ast.Name) and node.value.id == c.row_arg:
+            if node.attr not in c.cols:
+                c.cols.append(node.attr)
             return F.col(node.attr)
         raise ProgramError(f"unsupported attribute access (line {node.lineno})")
     if isinstance(node, ast.BinOp):
@@ -328,5 +335,5 @@ def compile_handler(fn: Callable) -> CompiledProgram:
 
     return CompiledProgram(
         name=fn.__name__, builder=builder, dependencies=deps, cast_to=cast_to,
-        may_be_null=c.may_be_null,
+        may_be_null=c.may_be_null, columns=tuple(c.cols),
     )

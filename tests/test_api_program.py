@@ -231,6 +231,42 @@ class TestDecoratorSurface:
         with pytest.raises(ValueError, match="produces"):
             model(keys="conv_id", input_features=["sel_plain+sum"])(lambda ctx: 0)
 
+    def test_data_source_object_binding(self, spark):
+        """@data_source: schema validation at definition time, timestamp
+        binding, and features_and_labels without a sources dict."""
+        from raptor_spark.api import data_source
+
+        src = transcripts(spark, 4).withColumnRenamed("ts", "event_at")
+
+        @data_source(training_data=src, keys="conv_id", timestamp="event_at")
+        class Transcript:
+            conv_id: str
+            turn_idx: int
+            role: str
+            text: str
+            event_at: object
+
+        @feature(keys="conv_id", data_source=Transcript)
+        @freshness(max_age="1h")
+        def ds_turn_len(this_row, ctx) -> float:
+            return len(this_row["text"])
+
+        assert ds_turn_len.spec.timestamp_col == "event_at"
+
+        with pytest.raises(ValueError, match="not declared"):
+            @feature(keys="conv_id", data_source=Transcript)
+            def bad_col(this_row, ctx) -> float:
+                return len(this_row["no_such_column"])
+
+        @model(keys="conv_id", input_features=[ds_turn_len],
+               key_feature=ds_turn_len)
+        def m(ctx):
+            pass
+
+        wide = m.features_and_labels(spark)  # no sources dict needed
+        assert wide.count() == src.count()
+        assert "ds_turn_len" in wide.columns
+
     def test_derived_with_data_source_rejected(self):
         with pytest.raises(ValueError, match="derived"):
             @feature(keys="conv_id", data_source="transcripts")
