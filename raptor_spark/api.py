@@ -212,6 +212,16 @@ def feature(
         opts = _opts(fn) if hasattr(fn, _OPTS_ATTR) else {}
         prog = compile_handler(fn)
         deps = prog.dependencies
+        aggr = opts.get("aggr")
+        if aggr is not None and prog.cast_to in ("string", "boolean"):
+            numeric_needed = {"sum", "avg", "min", "max"} & set(aggr.fns)
+            if numeric_needed:
+                raise TypeError(
+                    f"feature '{name or fn.__name__}': aggregation(s) "
+                    f"{sorted(numeric_needed)} require a numeric return "
+                    f"annotation, handler declares -> {prog.cast_to} "
+                    "(api/feature.go:50-64 rule, enforced at definition)"
+                )
         ts_col = "ts"
         if isinstance(data_source, DataSource):
             ts_col = data_source.timestamp

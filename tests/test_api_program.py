@@ -231,6 +231,19 @@ class TestDecoratorSurface:
         with pytest.raises(ValueError, match="produces"):
             model(keys="conv_id", input_features=["sel_plain+sum"])(lambda ctx: 0)
 
+    def test_aggregation_type_rule_at_definition(self):
+        with pytest.raises(TypeError, match="numeric return"):
+            @feature(keys="conv_id", data_source="transcripts")
+            @aggregation(function=["sum"], over="1h")
+            def bad_sum(this_row, ctx) -> str:
+                return this_row["role"]
+
+        # count over a string is legal (api/feature.go: count any type)
+        @feature(keys="conv_id", data_source="transcripts")
+        @aggregation(function=["count"], over="1h")
+        def ok_count(this_row, ctx) -> str:
+            return this_row["role"]
+
     def test_data_source_object_binding(self, spark):
         """@data_source: schema validation at definition time, timestamp
         binding, and features_and_labels without a sources dict."""
