@@ -299,9 +299,16 @@ def q_api_backfill(spark, sf_dir):
     def max_value_24h(this_row, ctx) -> float:
         return this_row["value"]
 
+    @api.feature(keys="user_id")  # sourceless: derived over the wide frame
+    def clicks_per_value(this_row, ctx) -> float:
+        return ctx.get_feature("clicks_6h_count") / (
+            ctx.get_feature("max_value_24h_max") + 1.0
+        )
+
     @api.model(
         keys="user_id",
         input_features=[purchase_id, last_click, clicks_6h, max_value_24h],
+        input_labels=[clicks_per_value],
         key_feature=purchase_id,
     )
     def purchase_model(ctx):
@@ -312,6 +319,7 @@ def q_api_backfill(spark, sf_dir):
     return out.select(
         "user_id", "ts", "purchase_id", "last_click",
         "clicks_6h_count", "max_value_24h_max",
+        F.round("clicks_per_value", 6).alias("clicks_per_value"),
     )
 
 
@@ -1104,16 +1112,20 @@ mx AS (
       RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
       AS max_value_24h_max
   FROM events)
-SELECT s.user_id, s.ts, s.purchase_id,
-  CASE WHEN lc.ts >= s.ts - INTERVAL 2 HOUR THEN lc.value END AS last_click,
-  CASE WHEN c.ts >= s.ts - INTERVAL 6 HOUR THEN c.clicks_6h_count END
-    AS clicks_6h_count,
-  CASE WHEN m.ts >= s.ts - INTERVAL 24 HOUR THEN m.max_value_24h_max END
-    AS max_value_24h_max
-FROM spine s
-ASOF LEFT JOIN clicks lc ON s.user_id = lc.user_id AND lc.ts <= s.ts
-ASOF LEFT JOIN ccnt c ON s.user_id = c.user_id AND c.ts <= s.ts
-ASOF LEFT JOIN mx m ON s.user_id = m.user_id AND m.ts <= s.ts
+SELECT user_id, ts, purchase_id, last_click, clicks_6h_count,
+  max_value_24h_max,
+  round(clicks_6h_count / (max_value_24h_max + 1.0), 6) AS clicks_per_value
+FROM (
+  SELECT s.user_id, s.ts, s.purchase_id,
+    CASE WHEN lc.ts >= s.ts - INTERVAL 2 HOUR THEN lc.value END AS last_click,
+    CASE WHEN c.ts >= s.ts - INTERVAL 6 HOUR THEN c.clicks_6h_count END
+      AS clicks_6h_count,
+    CASE WHEN m.ts >= s.ts - INTERVAL 24 HOUR THEN m.max_value_24h_max END
+      AS max_value_24h_max
+  FROM spine s
+  ASOF LEFT JOIN clicks lc ON s.user_id = lc.user_id AND lc.ts <= s.ts
+  ASOF LEFT JOIN ccnt c ON s.user_id = c.user_id AND c.ts <= s.ts
+  ASOF LEFT JOIN mx m ON s.user_id = m.user_id AND m.ts <= s.ts)
 """,
     "hetero_keys": f"""
 WITH ucnt AS (
