@@ -48,6 +48,7 @@ def asof_join(
     value_cols: Optional[Sequence[str]] = None,
     staleness_us: Optional[dict[str, int] | int] = None,
     tiebreak_col: Optional[str] = None,
+    feature_order_col: Optional[str] = None,
 ) -> DataFrame:
     """As-of join ``feature_values``'s value columns onto ``spine``.
 
@@ -58,6 +59,12 @@ def asof_join(
     tiebreak_col: optional spine column making in-key ordering total
     (e.g. event id / turn_idx) — affects only ordering among same-ts
     spine rows, never which feature values are visible.
+    feature_order_col: optional FEATURE-side column ordering same-ts
+    feature rows (e.g. an event/sequence id) — ``last()`` then
+    deterministically resolves duplicate (keys, ts) feature rows to
+    the highest value of this column. Without it, which duplicate wins
+    is partition-order-dependent; at 10^12 rows same-µs collisions are
+    certain, so pass it whenever the stream can collide.
 
     Same-ts semantics: a feature row AT the spine ts IS visible
     (ts ≤ spine ts), matching the reference's ``<=``.
@@ -76,6 +83,11 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(ts_col),
         F.lit(0).alias("_is_spine"),
+        *(
+            [F.col(feature_order_col).cast("long").alias("_ford")]
+            if feature_order_col
+            else []
+        ),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
         *[
             F.when(F.col(c).isNotNull(), micros(ts_col))
@@ -86,12 +98,18 @@ def asof_join(
     s_tagged = spine.select(
         "*",
         F.lit(1).alias("_is_spine"),
+        *([F.lit(None).cast("long").alias("_ford")] if feature_order_col else []),
         *[F.lit(None).cast(f_tagged.schema[f"_v_{c}"].dataType).alias(f"_v_{c}") for c in value_cols],
         *[F.lit(None).cast("long").alias(f"_vts_{c}") for c in value_cols],
     )
     unioned = s_tagged.unionByName(f_tagged, allowMissingColumns=True)
 
     order = [F.col(ts_col).asc(), F.col("_is_spine").asc()]
+    if feature_order_col:
+        # same-(keys, ts) feature rows resolve to the HIGHEST order
+        # value; nulls (spine rows) sort last within their _is_spine
+        # group, which is irrelevant since spine rows carry no values.
+        order.append(F.col("_ford").asc_nulls_last())
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc_nulls_first())
     w = (

@@ -150,3 +150,26 @@ def test_asof_multi_value_columns_one_pass(spark, transcripts_pair):
     pd.testing.assert_series_equal(
         got["last_tool"].fillna("∅"), exp["last_tool"].fillna("∅"), check_names=False
     )
+
+
+def test_asof_duplicate_ts_deterministic_with_feature_order(spark):
+    """Same-(key, ts) feature rows: feature_order_col makes the joined
+    value deterministic (highest order id wins) regardless of physical
+    layout. At 10^12 rows same-microsecond collisions are certain."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from raptor_spark.operators.asof import asof_join
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    fv_rows = [("k", t, float(i), i) for i in range(50)]  # 50 ties
+    spine = spark.createDataFrame([("k", t)], "key string, ts timestamp")
+    for rp in (1, 7):
+        fv = spark.createDataFrame(
+            fv_rows, "key string, ts timestamp, v double, seq long"
+        ).repartition(rp)
+        out = asof_join(
+            spine, fv, ["key"], "ts", ["v"], feature_order_col="seq"
+        ).collect()
+        assert out[0]["v"] == 49.0  # max seq wins, any partitioning
