@@ -21,13 +21,14 @@ explodes. All features sharing the key column join in a single pass:
 each contributes a value column that is NULL on spine rows and on other
 features' rows.
 
-Skew: conversations are Zipf-hot; `salt` splits a hot key's *feature*
-rows is impossible for as-of (needs full per-key order), so the skew
-lever here is AQE + hashing on the key only; within a single key the
-sort is O(n log n) in one task. For pathological single-key volumes use
-`operators.skew.repartition_hot_keys` upstream to pre-bucket by
-(key, day) when features are windowed (bucketed values shrink history
-before the merge).
+Skew: conversations are Zipf-hot; salting a hot key's *feature* rows
+is impossible for as-of (needs full per-key order), so the skew lever
+here is AQE + hashing on the key only; within a single key the sort is
+O(n log n) in one task. For pathological single-key volumes, shrink the
+history BEFORE the merge: windowed features go through
+``operators.window_agg.sliding_agg_bucketed`` (a hot conversation
+collapses to |buckets| rows), detected upstream via
+``operators.skew.detect_hot_keys``.
 """
 
 from __future__ import annotations
