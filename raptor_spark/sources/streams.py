@@ -55,6 +55,11 @@ class StreamSourceConfig:
     sasl_password: str = ""
     tls_disable: bool = True
     initial_offset: str = "latest"  # 'latest' | 'earliest'
+    # gcp_pubsub kind (reference config surface,
+    # dsrc_config_stubs/streaming.py:44-50): no public Spark connector
+    # exists — route through Pub/Sub's Kafka-compatible endpoint or a
+    # bridge; read_stream raises with that guidance.
+    project_id: str = ""
     # file kind only
     path: str = ""
     # arbitrary passthrough options (prefixed kafka.* reach the client)
@@ -104,6 +109,13 @@ def read_stream(
         if not cfg.path:
             raise ValueError("file stream needs cfg.path")
         return spark.readStream.schema(schema).parquet(cfg.path)
+    if cfg.kind == "gcp_pubsub":
+        raise RuntimeError(
+            "no public Spark connector for GCP Pub/Sub exists; use the "
+            "Pub/Sub Kafka-compatible endpoint (kind='kafka', brokers="
+            "'<region>-pubsub.googleapis.com:443' + SASL) or bridge to "
+            "files/kafka upstream"
+        )
     if cfg.kind != "kafka":
         raise ValueError(f"unknown stream kind {cfg.kind!r}")
     if not kafka_available(spark):

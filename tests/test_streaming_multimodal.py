@@ -252,3 +252,14 @@ class TestMultimodal:
 
         out = media.mapInPandas(run, schema="n long")
         assert out.agg(F.sum("n")).collect()[0][0] == 100
+
+
+def test_pubsub_kind_raises_with_route(spark):
+    from raptor_spark.sources.streams import StreamSourceConfig, read_stream
+
+    with pytest.raises(RuntimeError, match="Kafka-compatible"):
+        read_stream(
+            spark,
+            StreamSourceConfig(kind="gcp_pubsub", project_id="p", topics="t"),
+            "a string",
+        )
