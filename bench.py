@@ -30,6 +30,7 @@ from raptor_spark.queries import QUERIES
 HEADLINE = [
     "backfill_wide",        # PIT as-of merge of 3 features (flagship)
     "api_backfill",         # decorator API + handler AST compile
+    "kp_filtered",          # fused filtered keep_previous (lag ignore nulls)
     "hetero_keys",          # two key families, per-family as-of passes
     "pit_asof_join",        # J1 single-feature as-of
     "window_multi_24h",     # A1-A3 exact sliding window

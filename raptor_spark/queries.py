@@ -323,6 +323,35 @@ def q_api_backfill(spark, sf_dir):
     )
 
 
+def q_kp_filtered(spark, sf_dir):
+    """W2 + filter through the FUSED plan: keep_previous of a FILTERED
+    feature (last click value + its previous version with the 2h age
+    guard anchored at the latest update), as-of joined onto the
+    purchase spine — the lag-IGNORE-NULLS single-pass realization."""
+    from .plans.historical import get_historical
+    from .specs import FeatureSetSpec, feature
+
+    ev = _t(spark, sf_dir, "events")
+    fs = FeatureSetSpec(
+        features=[
+            feature("p_event_id", "user_id", "event_id",
+                    filter="event_type = 'purchase'"),
+            feature("last_click", "user_id", "value",
+                    staleness="2h", filter="event_type = 'click'",
+                    keep_previous=(1, "2h")),
+        ],
+        key_feature="p_event_id",
+    )
+    out = get_historical(ev, fs)
+    return out.select(
+        F.col("p_event_id").alias("event_id"),
+        "user_id",
+        "ts",
+        "last_click",
+        F.col("last_click_prev1").alias("prev_click_2h"),
+    )
+
+
 def q_hetero_keys(spark, sf_dir):
     """Heterogeneous-key FeatureSet: one as-of pass per KEY FAMILY
     (featureset.tmpl.sql:104-122 joins every feature on its own encoded
@@ -625,6 +654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_per_key": q_latest_per_key,
     "backfill_wide": q_backfill_wide,
     "api_backfill": q_api_backfill,
+    "kp_filtered": q_kp_filtered,
     "hetero_keys": q_hetero_keys,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -1126,6 +1156,20 @@ FROM (
   ASOF LEFT JOIN clicks lc ON s.user_id = lc.user_id AND lc.ts <= s.ts
   ASOF LEFT JOIN ccnt c ON s.user_id = c.user_id AND c.ts <= s.ts
   ASOF LEFT JOIN mx m ON s.user_id = m.user_id AND m.ts <= s.ts)
+""",
+    "kp_filtered": """
+WITH spine AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts, value,
+    lag(ts) OVER w AS pts, lag(value) OVER w AS pv
+  FROM events WHERE event_type = 'click'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT s.event_id, s.user_id, s.ts,
+  CASE WHEN c.ts >= s.ts - INTERVAL 2 HOUR THEN c.value END AS last_click,
+  CASE WHEN c.pts >= c.ts - INTERVAL 2 HOUR THEN c.pv END AS prev_click_2h
+FROM spine s
+ASOF LEFT JOIN clicks c ON s.user_id = c.user_id AND c.ts <= s.ts
 """,
     "hetero_keys": f"""
 WITH ucnt AS (
