@@ -449,6 +449,11 @@ def q_repetition(spark, sf_dir):
     from .functions.text import repetition_stats
 
     docs = _t(spark, sf_dir, "documents")
+    # CPU-heavy per-row shingling over a single parquet split would run
+    # in ONE task — spread rows first (same trap as minhash_lsh_pairs;
+    # explicit N so AQE can't coalesce the small-bytes exchange)
+    n_part = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part, F.col("doc_id"))
     n_grams, ratio = repetition_stats("text", 3)
     return docs.select(
         "doc_id", n_grams.alias("n_grams"), ratio.alias("rep_ratio")
