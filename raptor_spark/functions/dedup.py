@@ -278,36 +278,49 @@ def connected_components(
     ``max_iter`` rounds (silent truncation would return WRONG cluster
     labels).
     """
+    # materialize the edge list ONCE — every propagation round joins
+    # against it, and without the checkpoint each round would recompute
+    # the entire upstream pipeline (e.g. the MinHash candidate pass)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    changed = 1
-    for _ in range(max_iter):
+    def _update(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
+            edges.join(lbl, edges["dst"] == lbl["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)  # cut lineage + materialize per round
+        return lbl.join(
+            neighbor_min, lbl["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+            (F.col("nmin") < F.col("label")).alias("_changed"),
         )
+
+    # two propagation hops per checkpoint round: the fixpoint test only
+    # needs the LAST hop's changed flag (an update pass with no changes
+    # IS the fixpoint), so batching hops halves the per-round
+    # checkpoint + count job overhead that dominates on small rounds.
+    hops = 2
+    changed = 1
+    for _ in range(-(-max_iter // hops)):
+        new_labels = labels
+        for _ in range(hops):
+            new_labels = _update(new_labels.drop("_changed"))
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
         # checkpointed → this count scans cached partitions, no recompute
         changed = new_labels.filter("_changed").limit(1).count()
         labels = new_labels.drop("_changed")
