@@ -73,6 +73,18 @@ NOTES = {
         "+ one narrow aggregate; per-iteration driver collect is k "
         "rows. Probe/scan is the same broadcast equi-join as ann_ivf."
     ),
+    "kp_filtered": (
+        "Filtered keep_previous FUSED: lag IGNORE NULLS walks update "
+        "rows inside the same single window pass (one exchange, no "
+        "Union) — versions count updates, the age guard anchors at the "
+        "latest update's ts."
+    ),
+    "repetition": (
+        "CPU-heavy per-row shingling: explicit repartition(parallelism) "
+        "spreads rows before the transform (a single parquet split "
+        "would otherwise serialize the whole corpus through one task; "
+        "AQE coalesces small-bytes exchanges, so the N is explicit)."
+    ),
     "pit_asof_join": (
         "Union-merge as-of: spine and feature rows are tagged, "
         "unioned, and resolved with last(ignorenulls) over ONE hash "
