@@ -274,6 +274,98 @@ def get_historical_fused(
     return out
 
 
+def historical_from_store(
+    catalog,
+    table: str,
+    fs: FeatureSetSpec,
+    spine: DataFrame,
+    since: Optional[dt.datetime] = None,
+    until: Optional[dt.datetime] = None,
+    value_types: Optional[dict[str, str]] = None,
+) -> DataFrame:
+    """PIT training set read from the MATERIALIZED feature-values store
+    instead of recomputing from the source — the reference's production
+    historical query shape (featureset.tmpl.sql: per-feature CTEs over
+    the features table, joined on encoded KEYS onto the key feature).
+
+    Each feature's rows come from a partition-pruned scan of its fqn
+    dirs (Catalog.read_feature_values); all features union-merge into
+    ONE as-of pass on the ENCODED key string (f.KEYS = key.KEYS —
+    heterogeneous entities welcome, the encoding carries them). The
+    spine must contain every feature's raw key columns; its keys are
+    encoded with the same ';'.join.
+
+    value_types: per-feature stored value type (default 'double' — the
+    type of every windowed value and the common primitive case).
+    """
+    from ..operators.asof import asof_join
+    from .replay import encode_keys
+
+    ts_col = "ts"
+    staleness: dict[str, int] = {}
+    # family (key tuple) → (frames, value cols): features sharing an
+    # entity share one union-merge pass on the encoded key string
+    families: dict[tuple[str, ...], tuple[list[DataFrame], list[str]]] = {}
+    for spec in fs.features:
+        if spec.derived_inputs is not None:
+            continue
+        vt = (value_types or {}).get(spec.name, "double")
+        if spec.aggr is not None:
+            fqn_cols = [
+                (f"{spec.fqn}+{fn}", f"{spec.name}_{fn}") for fn in spec.aggr.fns
+            ]
+        else:
+            fqn_cols = [(spec.fqn, spec.name)]
+        df = catalog.read_feature_values(table, [f for f, _ in fqn_cols], vt)
+        if since is not None:
+            lo = since - dt.timedelta(microseconds=spec.effective_staleness_us)
+            df = df.filter(F.col(ts_col) >= F.lit(lo))
+        if until is not None:
+            df = df.filter(F.col(ts_col) <= F.lit(until))
+        fv = df.select(
+            F.col("keys").alias("_keys"),
+            F.col(ts_col),
+            *[
+                F.when(F.col("fqn") == f, F.col("value")).alias(c)
+                for f, c in fqn_cols
+            ],
+        )
+        missing = [k for k in spec.keys if k not in spine.columns]
+        if missing:
+            raise ValueError(
+                f"spine lacks key column(s) {missing} for feature "
+                f"'{spec.name}'"
+            )
+        frames, cols = families.setdefault(tuple(spec.keys), ([], []))
+        frames.append(fv)
+        st = spec.effective_staleness_us
+        for _, c in fqn_cols:
+            staleness[c] = st
+            cols.append(c)
+
+    out = spine
+    for fam_keys, (frames, cols) in families.items():
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f, allowMissingColumns=True)
+        tagged = out.withColumn("_keys", encode_keys(out, fam_keys))
+        out = asof_join(
+            tagged, merged, keys=["_keys"], ts_col=ts_col,
+            value_cols=cols,
+            staleness_us={c: staleness[c] for c in cols},
+        ).drop("_keys")
+
+    derived = fs.derived_topo()
+    if derived:
+        from .replay import _eval_expr
+
+        for spec in derived:
+            out = out.withColumn(spec.name, _eval_expr(out, spec.expr))
+    if since is not None:
+        out = out.filter(F.col(ts_col) >= F.lit(since))
+    return out
+
+
 def get_historical(
     source: DataFrame,
     fs: FeatureSetSpec,

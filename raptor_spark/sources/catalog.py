@@ -129,6 +129,26 @@ class Catalog:
         df = self.spark.read.parquet(self._path(name))
         return df if with_partition_cols else df.drop("pbucket", "pday")
 
+    def read_feature_values(
+        self, name: str, fqns: list[str], value_type: str = "double"
+    ) -> DataFrame:
+        """Read the long feature-values relation for the given fqns —
+        the ``fqn`` hive partition prunes the scan to those features'
+        files (the reference's per-feature CTE WHERE FQN=... over the
+        clustered table, featureset.tmpl.sql:95-100). ``value_type``:
+        the stored value type for THESE fqns (schema is declared, not
+        inferred — different features legally store different value
+        types in their own partitions, and cross-partition inference
+        would pick one at random)."""
+        if self.kind == "iceberg":
+            df = self.spark.table(self._ident(name))
+        else:
+            df = self.spark.read.schema(
+                f"fqn string, keys string, ts timestamp, value {value_type}, "
+                "pday date"
+            ).option("basePath", self._path(name)).parquet(self._path(name))
+        return df.filter(F.col("fqn").isin(fqns)).drop("pday")
+
     def read_key_prune(self, name: str, conv_id: str) -> DataFrame:
         """Single-key read using the bucket partition column — prunes to
         1/n_buckets of the files before the conv_id filter runs."""
