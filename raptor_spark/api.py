@@ -48,6 +48,16 @@ from .specs import AggrSpec, FeatureSetSpec, FeatureSpec, KeepPreviousSpec
 
 _OPTS_ATTR = "_raptor_opts"
 
+
+def _us_str(us: int) -> str:
+    """Duration µs → the compact string form the manifest carries
+    (round-trips through durations.parse_duration_us)."""
+    if us == 0:
+        return "0"
+    if us % 1_000_000 == 0:
+        return f"{us // 1_000_000}s"
+    return f"{us}us"
+
 # definition registry: @feature registers under fqn AND bare name so
 # @model can take string selectors ('ns.name+fn@-N') like the reference
 # (decorators.py input_features=['total_spend+sum'])
@@ -186,6 +196,61 @@ class Feature:
         """Local batch replay over training data → the canonical long
         feature-values frame (labsdk replay.py:78-152)."""
         return _replay_long(df, self.spec, mode=mode)
+
+    def manifest(self, to_file: bool = False) -> str:
+        """Deployment manifest in the reference's CRD layout
+        (types/feature.py:225-250: apiVersion/kind/metadata/spec).
+        The builder code is the handler's source — the production
+        runtime would recompile it exactly as this SDK did."""
+        import inspect
+
+        import yaml
+
+        s = self.spec
+        doc = {
+            "apiVersion": "k8s.raptor.ml/v1alpha1",
+            "kind": "Feature",
+            "metadata": {
+                "name": s.name.replace("_", "-"),
+                "namespace": s.namespace,
+            },
+            "spec": {
+                "primitive": (s.expr.cast_to or "double")
+                if hasattr(s.expr, "cast_to")
+                else "double",
+                "freshness": _us_str(s.freshness_us),
+                "staleness": _us_str(s.staleness_us),
+                "keepPrevious": (
+                    None
+                    if s.keep_previous is None
+                    else {
+                        "versions": s.keep_previous.versions,
+                        "over": _us_str(s.keep_previous.over_us),
+                    }
+                ),
+                "keys": list(s.keys),
+                "dataSource": (
+                    self.data_source.name
+                    if isinstance(self.data_source, DataSource)
+                    else self.data_source
+                ),
+                "builder": {
+                    "aggr": list(s.aggr.fns) if s.aggr else [],
+                    "aggrGranularity": _us_str(s.aggr.granularity_us)
+                    if s.aggr
+                    else None,
+                    "code": inspect.getsource(self.handler),
+                },
+            },
+        }
+        out = yaml.safe_dump(doc, sort_keys=False)
+        if to_file:
+            import os
+
+            os.makedirs("out", exist_ok=True)
+            with open(f"out/{s.name}.yaml", "w") as f:
+                f.write(out)
+        return out
 
     def __call__(self, *args, **kwargs):
         raise TypeError(

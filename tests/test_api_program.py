@@ -231,6 +231,30 @@ class TestDecoratorSurface:
         with pytest.raises(ValueError, match="produces"):
             model(keys="conv_id", input_features=["sel_plain+sum"])(lambda ctx: 0)
 
+    def test_manifest_layout(self):
+        import yaml
+
+        from raptor_spark.durations import parse_duration_us
+
+        @feature(keys="conv_id", data_source="transcripts")
+        @freshness(max_age="10m", max_stale="1h")
+        @aggregation(function=["count"], over="1h", granularity="5m")
+        def mani_feat(this_row, ctx) -> float:
+            return 1.0
+
+        doc = yaml.safe_load(mani_feat.manifest())
+        assert doc["apiVersion"] == "k8s.raptor.ml/v1alpha1"
+        assert doc["kind"] == "Feature"
+        assert doc["metadata"]["name"] == "mani-feat"
+        spec = doc["spec"]
+        assert spec["keys"] == ["conv_id"]
+        assert spec["dataSource"] == "transcripts"
+        assert spec["builder"]["aggr"] == ["count"]
+        assert "def mani_feat" in spec["builder"]["code"]
+        # durations round-trip
+        assert parse_duration_us(spec["freshness"]) == 600_000_000
+        assert parse_duration_us(spec["builder"]["aggrGranularity"]) == 300_000_000
+
     def test_aggregation_type_rule_at_definition(self):
         with pytest.raises(TypeError, match="numeric return"):
             @feature(keys="conv_id", data_source="transcripts")
