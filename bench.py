@@ -51,6 +51,7 @@ HEADLINE = [
     "simhash_dedup",        # SimHash near-dup groups
     "token_freq",           # BPE-ish tokenize + corpus top-k
     "repetition",           # intra-doc n-gram repetition ratio
+    "containment",          # partial-overlap window fingerprints
     "media_features",       # multimodal mapInPandas plumbing
     "media_frames",         # video frame-sample fan-out
     "knn_cosine",           # brute-force ANN baseline

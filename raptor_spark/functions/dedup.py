@@ -335,6 +335,74 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("cluster_rep"))
 
 
+def window_fingerprints(
+    text: Column | str, w: int = 48, stride: int = 24
+) -> Column:
+    """Sampled fixed-width window fingerprints over the normalized
+    text: md5-derived longs of each ``w``-char window every ``stride``
+    chars (array<long>, distinct). Shared window hashes between two
+    docs flag PARTIAL overlap — contained quotes / boilerplate blocks —
+    which whole-doc near-dup (MinHash over the full shingle set) dilutes
+    away. md5 keeps the fingerprints engine-portable (the DuckDB oracle
+    reproduces them); a Rabin-Karp rolling hash would save the
+    per-window rehash at stride=1, but sampled strides make the md5
+    cost O(len/stride) and keep cross-engine determinism."""
+    t = _norm(F.col(text) if isinstance(text, str) else text)
+    n_win = F.floor((F.length(t) - w) / F.lit(stride)) + 1
+    wins = F.when(
+        F.length(t) >= w,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: md5_long(F.substring(t, (i * stride + 1).cast("int"), w)),
+        ),
+    ).otherwise(F.array(md5_long(t)))
+    return F.array_distinct(wins)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    w: int = 48,
+    stride: int = 24,
+    min_shared: int = 2,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Partial-overlap candidate pairs: docs sharing ≥ ``min_shared``
+    window fingerprints. One shuffle on the fingerprint value (explode
+    → self-pair within each fingerprint bucket → count per pair) —
+    never all-pairs; ``max_bucket`` drops degenerate fingerprints
+    (e.g. a boilerplate window shared by half the corpus) exactly like
+    the MinHash bucket cap. Returns (id_a, id_b, n_shared)."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    fps = (
+        df.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(window_fingerprints(text_col, w, stride)).alias("fp"),
+        )
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
     inter = F.size(F.array_intersect(sh_a, sh_b))
     union = F.size(F.array_union(sh_a, sh_b))

@@ -443,6 +443,16 @@ def q_simhash_dedup(spark, sf_dir):
     )
 
 
+def q_containment(spark, sf_dir):
+    """Partial-overlap (containment/quote) candidate pairs via sampled
+    window fingerprints — catches a document embedded inside another,
+    which whole-doc MinHash dilutes away."""
+    from .functions.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", w=48, stride=24, min_shared=2)
+
+
 def q_repetition(spark, sf_dir):
     """Intra-doc 3-gram repetition ratio (boilerplate / looped-output
     filter): rep_ratio = 1 − distinct/total word trigrams."""
@@ -670,6 +680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": q_simhash_dedup,
     "token_freq": q_token_freq,
     "repetition": q_repetition,
+    "containment": q_containment,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "knn_cosine": q_knn_cosine,
@@ -1237,6 +1248,21 @@ FROM h
     "minhash_lsh": _minhash_sql(),
     "dup_clusters": _dup_clusters_sql(),
     "simhash_dedup": _simhash_sql(),
+    "containment": f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+fp AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN length(norm) >= 48 THEN
+      list_transform(
+        generate_series(0, CAST(floor((length(norm) - 48) / 24) AS INT)),
+        i -> CAST('0x' || substr(md5(substr(norm, i*24 + 1, 48)), 1, 15) AS BIGINT))
+    ELSE [CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT)] END)) AS f
+  FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
     "repetition": f"""
 WITH toks AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
