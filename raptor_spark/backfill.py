@@ -299,6 +299,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--master", default=None)
     p.add_argument("--mode", choices=["exact", "bucketed"], default="exact")
     p.add_argument("--skew", action="store_true")
+    p.add_argument("--catalog-root", default=None,
+                   help="lay the transcript table out through the "
+                        "partitioned catalog (bucket(conv_id), days(ts)) "
+                        "and shard on its pbucket partition column — each "
+                        "shard's scan partition-prunes to ~1/n of the files")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--incremental", action="store_true",
                    help="data-aware resume: recompute only shards whose "
@@ -308,12 +313,25 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     spark = get_spark(app="raptor_backfill", master=args.master)
     try:
         src = transcripts(spark, n_convs=args.n_convs, skew=args.skew)
+        shard_col = None
+        if args.catalog_root:
+            from .sources.catalog import Catalog
+
+            # n_buckets a multiple of n_shards keeps the shard
+            # assignment identical to key-hash sharding (resume-safe)
+            cat = Catalog(spark, root=args.catalog_root,
+                          n_buckets=2 * args.shards)
+            if not os.path.isdir(os.path.join(args.catalog_root, "transcripts")):
+                cat.write_transcripts(src, "transcripts")
+            src = cat.read("transcripts", with_partition_cols=True)
+            shard_col = "pbucket"
         res = backfill(
             spark,
             src,
             transcript_feature_set(),
             args.out,
             n_shards=args.shards,
+            shard_col=shard_col,
             resume=not args.no_resume,
             # incremental reruns grow n_convs over the same logical
             # source — keep the checkpoint identity stable across sizes
