@@ -13,8 +13,11 @@ expressions over ``this_row``, conditionals, None returns):
 - ``this_row['col']`` / ``this_row.col``       → F.col
 - ``ctx.get_feature('name')``                  → F.col(name) + recorded
   dependency (U3 — drives the derived-feature DAG, replay.py:203-273)
-- literals (num/str/bool/None), arithmetic (+ - * / % **), unary ±,
-  comparisons (== != < <= > >=, chained), boolean and/or/not,
+- literals (num/str/bool/None), arithmetic (+ - * / % // **; % compiles
+  to pmod — Python sign-of-divisor semantics for positive divisors),
+  unary ±, comparisons (== != < <= > >=, chained), boolean and/or/not
+  (LOGICAL only — Python's value-selecting ``x or default`` idiom is
+  NOT preserved; write ``x if x is not None else default``),
   ternary ``a if c else b``
 - ``if/elif/else`` statement trees ending in ``return``
 - ``x in ('a', 'b')``                          → Column.isin
@@ -59,8 +62,11 @@ _BINOPS = {
     ast.Sub: lambda a, b: a - b,
     ast.Mult: lambda a, b: a * b,
     ast.Div: lambda a, b: a / b,
-    ast.Mod: lambda a, b: a % b,
+    # Python % takes the DIVISOR's sign; SQL % takes the dividend's.
+    # pmod matches Python for positive divisors (the practical case).
+    ast.Mod: lambda a, b: F.pmod(a, b),
     ast.Pow: lambda a, b: a**b,
+    ast.FloorDiv: lambda a, b: F.floor(a / b).cast("long"),
 }
 
 _CMPOPS = {

@@ -27,6 +27,12 @@ def _expr(depth: int):
         st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
             lambda t: f"({t[0]} {t[1]} {t[2]})"
         ),
+        # % and // with positive literal divisors (Python sign-of-
+        # divisor semantics, compiled to pmod / floor-div)
+        st.tuples(sub, st.sampled_from(["%", "//"]),
+                  st.integers(min_value=1, max_value=23)).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
         st.tuples(sub, sub).map(lambda t: f"min({t[0]}, {t[1]})"),
         st.tuples(sub, sub).map(lambda t: f"max({t[0]}, {t[1]})"),
         sub.map(lambda e: f"abs({e})"),
