@@ -62,6 +62,8 @@ HEADLINE = [
     "pricing_summary",      # TPC-H Q1-style agg
     "revenue_by_nation",    # multi-table broadcast join
     "topk_orders_per_cust", # window top-k
+    "shipping_priority",    # TPC-H Q3-style 3-way join + top-10
+    "cust_without_orders",  # left-anti join (NOT EXISTS)
 ]
 
 

@@ -652,6 +652,50 @@ def q_topk_orders_per_cust(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: 3-table join (broadcast the filtered customer
+    dim), DECIMAL-exact revenue agg, global top-10 via
+    TakeOrderedAndProject (no single-partition window)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01")
+    )
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    out = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+    return out.select("l_orderkey", "o_orderdate", "revenue")
+
+
+def q_cust_without_orders(spark, sf_dir):
+    """Left-anti join (the NOT EXISTS shape): customers with no
+    big-ticket order. The filter pushes into the build-side scan
+    before the anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450_000)
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pit_asof_join": q_pit_asof_join,
     "window_count_1h": q_window_count_1h,
@@ -691,6 +735,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "topk_orders_per_cust": q_topk_orders_per_cust,
+    "shipping_priority": q_shipping_priority,
+    "cust_without_orders": q_cust_without_orders,
 }
 
 
@@ -1377,5 +1423,27 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
 FROM orders
 QUALIFY rk <= 3
+""",
+    "shipping_priority": """
+SELECT l_orderkey, o_orderdate,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    "cust_without_orders": """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 450000)
 """,
 }
