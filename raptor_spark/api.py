@@ -60,11 +60,23 @@ def _us_str(us: int) -> str:
 
 # definition registry: @feature registers under fqn AND bare name so
 # @model can take string selectors ('ns.name+fn@-N') like the reference
-# (decorators.py input_features=['total_spend+sum'])
+# (decorators.py input_features=['total_spend+sum']). Process-global,
+# last-definition-wins on collisions (same as re-running a notebook
+# cell in the reference SDK) — namespace-qualified selectors never hit
+# the bare-name fallback, so cross-namespace collisions stay explicit.
 _REGISTRY: dict[str, "Feature"] = {}
 
 
 def _opts(fn: Callable) -> dict:
+    if isinstance(fn, Feature):
+        # decorator order matters: @feature must be OUTERMOST (applied
+        # last). Attaching options to an already-built Feature would be
+        # silently ignored — fail loudly instead.
+        raise TypeError(
+            f"@feature must be the outermost decorator on "
+            f"'{fn.spec.name}' — @aggregation/@freshness/@keep_previous/"
+            "@namespace apply below it (decorators.py example order)"
+        )
     if not hasattr(fn, _OPTS_ATTR):
         setattr(fn, _OPTS_ATTR, {})
     return getattr(fn, _OPTS_ATTR)
@@ -424,9 +436,14 @@ def model(
                 return
             # string selector: '[ns.]name[+fn][@-N]' resolved from the
             # definition registry (the reference resolves FQN strings
-            # the same way, decorators.py feature_obj_resolver)
+            # the same way, decorators.py feature_obj_resolver). The
+            # bare-name fallback applies ONLY when the selector wrote
+            # no namespace — an explicit namespace that misses must
+            # not silently resolve to a same-named feature elsewhere.
             sel = parse_selector(str(f))
-            feat = _REGISTRY.get(sel.fqn) or _REGISTRY.get(sel.name)
+            feat = _REGISTRY.get(sel.fqn)
+            if feat is None and "." not in str(f).split("+")[0].split("@")[0]:
+                feat = _REGISTRY.get(sel.name)
             if feat is None:
                 raise KeyError(
                     f"selector '{f}' does not match any @feature definition"

@@ -175,16 +175,22 @@ def backfill(
     )
     # ONE pass over the source for every shard's row count (+ the
     # incremental fingerprint fields) — not a per-shard aggregate job.
-    stat_aggs = [F.count(F.lit(1)).alias("n")]
-    if incremental:
-        stat_aggs += [
-            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("mx"),
-            F.bit_xor(F.xxhash64(F.col(key), F.col(ts_col))).alias("h"),
-        ]
-    stats = {
-        r["_shard"]: r
-        for r in source.groupBy(shard_expr.alias("_shard")).agg(*stat_aggs).collect()
-    }
+    # Plain-resume runs with nothing left to do skip even this scan
+    # (incremental always needs it: the fingerprints decide skipping).
+    stats: dict[int, object] = {}
+    if incremental or any(k not in done for k in range(n_shards)):
+        stat_aggs = [F.count(F.lit(1)).alias("n")]
+        if incremental:
+            stat_aggs += [
+                F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("mx"),
+                F.bit_xor(F.xxhash64(F.col(key), F.col(ts_col))).alias("h"),
+            ]
+        stats = {
+            r["_shard"]: r
+            for r in source.groupBy(shard_expr.alias("_shard"))
+            .agg(*stat_aggs)
+            .collect()
+        }
 
     for k in range(n_shards):
         src_k = source.filter(shard_expr == k)

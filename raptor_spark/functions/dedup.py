@@ -106,6 +106,20 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     return F.array(*sigs)
 
 
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Emit all (id_a < id_b) pairs from each bucket's sorted ``ids``
+    array, locally per bucket (no self-join)."""
+    return buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -142,6 +156,11 @@ def minhash_lsh_pairs(
     rows, and only then collects — no oversized array ever
     materializes. Costs one extra shuffle of (band, bsig, count) rows.
     """
+    if observation is not None and max_bucket <= 0:
+        raise ValueError(
+            "observation requires max_bucket > 0 — with no cap nothing "
+            "attaches the metrics and Observation.get would block forever"
+        )
     rows = k // bands
     # staged selects: shingle → md5-hash (expensive, once per shingle)
     # → signature (cheap arithmetic). Kept as separate projections so
@@ -237,15 +256,7 @@ def minhash_lsh_pairs(
             )
         buckets = buckets.filter(F.col("_n") <= max_bucket)
     buckets = buckets.filter(F.col("_n") > 1).drop("_n")
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                "y -> struct(x AS id_a, y AS id_b))))"
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+    pairs = _bucket_pairs(buckets)
     return (
         pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
@@ -387,15 +398,7 @@ def containment_pairs(
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                "y -> struct(x AS id_a, y AS id_b))))"
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+    pairs = _bucket_pairs(buckets)
     return (
         pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

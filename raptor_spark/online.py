@@ -65,11 +65,21 @@ class OnlineStore:
 
     def compact(self) -> None:
         """Rewrite the log to one row per (fqn, keys) — the cleanup
-        MERGE analog (snowflake/create.go:36-60)."""
-        latest = self._latest(self.spark.read.parquet(self.path)).cache()
-        latest.count()  # materialize before overwriting the source
-        latest.write.mode("overwrite").partitionBy("fqn").parquet(self.path)
-        latest.unpersist()
+        MERGE analog (snowflake/create.go:36-60). Writes to a temp dir
+        then swaps: cache() is NOT a durability guarantee (an evicted/
+        lost partition would recompute from the source path mid-
+        overwrite and find the files already deleted)."""
+        import shutil
+
+        tmp = self.path.rstrip("/") + ".compact.tmp"
+        self._latest(self.spark.read.parquet(self.path)).write.mode(
+            "overwrite"
+        ).partitionBy("fqn").parquet(tmp)
+        old = self.path.rstrip("/") + ".compact.old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.path, old)
+        os.replace(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
 
     # -- read ----------------------------------------------------------
     def _latest(self, fv: DataFrame) -> DataFrame:

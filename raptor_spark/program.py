@@ -22,7 +22,8 @@ expressions over ``this_row``, conditionals, None returns):
 - ``if/elif/else`` statement trees ending in ``return``
 - ``x in ('a', 'b')``                          → Column.isin
 - ``x is None`` / ``x is not None``            → isNull/isNotNull
-- builtins: len, abs, round, min, max (2+ args), float, int, str
+- builtins: len, abs, round (SQL half-up — Python's banker's rounding
+  differs on exact .5 midpoints), min, max (2+ args), float, int, str
 - str methods: lower, upper, strip, startswith, endswith, replace
 - ``return None``                              → NULL (implicit
   None-filter downstream, replay.py:110-111)

@@ -796,9 +796,17 @@ sig AS (SELECT doc_id, {hashes} FROM hs),
 banded AS (
   SELECT doc_id, b.band, b.bsig
   FROM sig, (VALUES {band_rows}) AS b(band, bsig)
+),
+-- mirror the engine's max_bucket=10000 cap: buckets larger than the
+-- cap are dropped on BOTH sides (engine: executor-memory guard)
+kept AS (
+  SELECT band, bsig FROM banded GROUP BY 1, 2
+  HAVING count(*) <= 10000
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
-FROM banded a JOIN banded b
+FROM banded a
+JOIN kept k ON a.band = k.band AND a.bsig = k.bsig
+JOIN banded b
   ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
@@ -957,9 +965,11 @@ def _kmeans_cents_sql(k: int = 8, iters: int = 2, dim: int = 64,
     keeps its previous centroid. Final centroids CTE: cents(cid, cent)."""
     cos = _COS_SQL.format(a="e.embedding", b="c.cent")
     raw = cos.replace("round(\n", "(\n").replace(",\n    6)", ")")
+    # init = the k SMALLEST ids (ORDER BY + LIMIT, matching kmeans_fit
+    # exactly — `WHERE vec_id < k` would diverge on non-0-based ids)
     parts = [
         f"c0 AS (\n  SELECT vec_id AS cid, embedding AS cent "
-        f"FROM embeddings WHERE vec_id < {k})"
+        f"FROM embeddings ORDER BY vec_id LIMIT {k})"
     ]
     for it in range(1, iters + 1):
         prev = f"c{it - 1}"
@@ -1303,9 +1313,12 @@ fp AS (
         generate_series(0, CAST(floor((length(norm) - 48) / 24) AS INT)),
         i -> CAST('0x' || substr(md5(substr(norm, i*24 + 1, 48)), 1, 15) AS BIGINT))
     ELSE [CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT)] END)) AS f
-  FROM d)
+  FROM d),
+-- mirror the engine's max_bucket=10000 fingerprint cap
+kept AS (SELECT f FROM fp GROUP BY 1 HAVING count(*) <= 10000)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+FROM fp a JOIN kept k ON a.f = k.f
+JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 2
 """,

@@ -231,6 +231,33 @@ class TestDecoratorSurface:
         with pytest.raises(ValueError, match="produces"):
             model(keys="conv_id", input_features=["sel_plain+sum"])(lambda ctx: 0)
 
+    def test_wrong_decorator_order_raises(self):
+        """@feature below an inner decorator would silently drop the
+        options — must fail loudly at definition time."""
+        with pytest.raises(TypeError, match="outermost"):
+            @aggregation(function=["count"], over="1h")
+            @feature(keys="conv_id", data_source="transcripts")
+            def misordered(this_row, ctx) -> float:
+                return 1.0
+
+    def test_explicit_namespace_selector_no_fallback(self):
+        """A selector with an explicit (wrong) namespace must NOT
+        silently resolve to a same-named feature elsewhere."""
+
+        @feature(keys="conv_id", data_source="transcripts")
+        @namespace("sales")
+        def ns_scoped(this_row, ctx) -> float:
+            return 1.0
+
+        m = model(keys="conv_id", input_features=["sales.ns_scoped"])
+        m(lambda ctx: 0)  # explicit correct namespace resolves
+        with pytest.raises(KeyError, match="does not match"):
+            model(keys="conv_id", input_features=["other.ns_scoped"])(
+                lambda ctx: 0
+            )
+        # bare name still falls back
+        model(keys="conv_id", input_features=["ns_scoped"])(lambda ctx: 0)
+
     def test_manifest_layout(self):
         import yaml
 
