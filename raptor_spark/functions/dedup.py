@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .rounding import round6
 from .text import fingerprint
 
 
@@ -439,7 +440,7 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(jaccard(F.col("a._sh"), F.col("b._sh")), 6).alias("jaccard_sim"),
+            round6(jaccard(F.col("a._sh"), F.col("b._sh"))).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .rounding import round6
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -58,7 +60,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+            round6(cosine(F.col("_qv"), F.col("_cv"))).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -164,7 +166,7 @@ def embedding_neardup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+            round6(cosine(F.col("a._v"), F.col("b._v"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -251,7 +253,7 @@ def kmeans_fit(
             .select(
                 "cid",
                 "pos",
-                F.round(F.col("s") / F.lit(float(quant)) / F.col("n"), 6).alias(
+                round6(F.col("s") / F.lit(float(quant)) / F.col("n")).alias(
                     "c"
                 ),
             )
@@ -326,7 +328,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+            round6(cosine(F.col("_qv"), F.col("_cv"))).alias("cos_sim"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos_sim").alias("cos_sim"))
@@ -373,7 +375,7 @@ def lsh_bucket_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+            round6(cosine(F.col("_qv"), F.col("_cv"))).alias("cos_sim"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos_sim").alias("cos_sim"))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .rounding import round6
+
 
 def token_count(text: Column | str) -> Column:
     """Whitespace token count (empty/blank text → 0)."""
@@ -63,11 +65,10 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
             (F.length(padded) - F.length(F.replace(padded, F.lit(pat))))
             / F.lit(len(pat))
         ).cast("int")
-    return F.round(
-        F.when(token_count(t) > 0, hits.cast("double") / token_count(t))
-        .otherwise(F.lit(0.0)),
-        6,
-    )
+    # unrounded — callers (text_stats) apply the portable round6 once
+    return F.when(
+        token_count(t) > 0, hits.cast("double") / token_count(t)
+    ).otherwise(F.lit(0.0))
 
 
 def repetition_stats(text: Column | str, n: int = 3) -> tuple[Column, Column]:
@@ -89,10 +90,9 @@ def repetition_stats(text: Column | str, n: int = 3) -> tuple[Column, Column]:
     n_grams = F.when(k > 0, k).otherwise(F.lit(0)).cast("int")
     ratio = F.when(
         k > 0,
-        F.round(
+        round6(
             F.lit(1.0)
-            - F.size(F.array_distinct(sh)).cast("double") / k.cast("double"),
-            6,
+            - F.size(F.array_distinct(sh)).cast("double") / k.cast("double")
         ),
     ).otherwise(F.lit(0.0))
     return n_grams, ratio
@@ -111,7 +111,7 @@ def quality_score(text: Column | str) -> Column:
         + F.lit(0.2) * (F.lit(1.0) - upper_ratio(t))
         + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio(t) * 5, F.lit(1.0)))
     )
-    return F.round(score, 6)
+    return round6(score)
 
 
 # tiny per-language stopword marker sets for the n-gram/stopword
@@ -166,10 +166,10 @@ def text_stats(text_col: str = "text") -> list[Column]:
     return [
         token_count(t).alias("n_tokens"),
         char_count(t).alias("n_chars_computed"),
-        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(upper_ratio(t), 6).alias("upper_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        round6(alpha_ratio(t)).alias("alpha_ratio"),
+        round6(punct_ratio(t)).alias("punct_ratio"),
+        round6(upper_ratio(t)).alias("upper_ratio"),
+        round6(stopword_ratio(t)).alias("stopword_ratio"),
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     ]

@@ -48,6 +48,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ENGINE-PORTABLE round for quotient-valued doubles (see
+# functions/rounding.py — library round() diverges on half boundaries)
+from .functions.rounding import round6, sql_round6  # noqa: E402
+
+
 # ---------------------------------------------------------------- events
 
 def q_pit_asof_join(spark, sf_dir):
@@ -82,7 +87,7 @@ def q_window_multi_24h(spark, sf_dir):
         "user_id",
         "ts",
         F.round("sum", 6).alias("sum_24h"),
-        F.round("avg", 6).alias("avg_24h"),
+        round6("avg").alias("avg_24h"),
         F.col("min").alias("min_24h"),
         F.col("max").alias("max_24h"),
     )
@@ -170,7 +175,7 @@ def q_salted_user_stats(spark, sf_dir):
         F.round("sum", 6).alias("sum_value"),
         F.col("min").alias("min_value"),
         F.col("max").alias("max_value"),
-        F.round("avg", 6).alias("avg_value"),
+        round6("avg").alias("avg_value"),
     )
 
 
@@ -319,7 +324,7 @@ def q_api_backfill(spark, sf_dir):
     return out.select(
         "user_id", "ts", "purchase_id", "last_click",
         "clicks_6h_count", "max_value_24h_max",
-        F.round("clicks_per_value", 6).alias("clicks_per_value"),
+        round6("clicks_per_value").alias("clicks_per_value"),
     )
 
 
@@ -379,7 +384,7 @@ def q_hetero_keys(spark, sf_dir):
         "event_type",
         "ts",
         F.col("user_cnt_1h_count").alias("user_cnt_1h"),
-        F.round("type_avg_6h_avg", 6).alias("type_avg_6h"),
+        round6("type_avg_6h_avg").alias("type_avg_6h"),
     )
 
 
@@ -875,12 +880,14 @@ def _lsh_sig_sql(dim: int, n_planes: int, vec: str = "embedding") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-_COS_SQL = """round(
+_COS_RAW = """(
       list_sum(list_transform(list_zip({a}, {b}),
                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
       / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
-         * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
-    6)"""
+         * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))))"""
+# portable floor-round (see functions/rounding.py): library round()
+# diverges from Spark on half boundaries
+_COS_SQL = "floor(" + _COS_RAW + " * 1000000 + 0.5) / 1000000"
 
 
 def _embedding_neardup_sql() -> str:
@@ -926,8 +933,8 @@ def _ann_ivf_sql() -> str:
     cos_pair = _COS_SQL.format(a="p.qv", b="l.cv")
     # centroid argmin uses the UNROUNDED cosine in both engines (same
     # left-to-right double ops); only the output cos_sim is rounded
-    raw_cent = cos_cent.replace("round(\n", "(\n").replace(",\n    6)", ")")
-    raw_q = cos_q.replace("round(\n", "(\n").replace(",\n    6)", ")")
+    raw_cent = _COS_RAW.format(a="e.embedding", b="c.cent")
+    raw_q = _COS_RAW.format(a="q.embedding", b="c.cent")
     return f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cent FROM embeddings WHERE vec_id < 16),
@@ -964,7 +971,7 @@ def _kmeans_cents_sql(k: int = 8, iters: int = 2, dim: int = 64,
     via exact BIGINT sums of floor(v*quant), round(_,6), empty cluster
     keeps its previous centroid. Final centroids CTE: cents(cid, cent)."""
     cos = _COS_SQL.format(a="e.embedding", b="c.cent")
-    raw = cos.replace("round(\n", "(\n").replace(",\n    6)", ")")
+    raw = _COS_RAW.format(a="e.embedding", b="c.cent")
     # init = the k SMALLEST ids (ORDER BY + LIMIT, matching kmeans_fit
     # exactly — `WHERE vec_id < k` would diverge on non-0-based ids)
     parts = [
@@ -979,7 +986,7 @@ def _kmeans_cents_sql(k: int = 8, iters: int = 2, dim: int = 64,
             for j in range(dim)
         )
         comp_cols = ",\n     ".join(
-            f"coalesce(round(CAST(m.s{j} AS DOUBLE) / {quant}.0 / m.n, 6), "
+            f"coalesce(floor(CAST(m.s{j} AS DOUBLE) / {quant}.0 / m.n * 1000000 + 0.5) / 1000000, "
             f"CAST(c.cent[{j + 1}] AS DOUBLE))"
             for j in range(dim)
         )
@@ -1004,8 +1011,8 @@ def _ann_ivf_kmeans_sql() -> str:
     cos_cent = _COS_SQL.format(a="e.embedding", b="c.cent")
     cos_q = _COS_SQL.format(a="q.embedding", b="c.cent")
     cos_pair = _COS_SQL.format(a="p.qv", b="l.cv")
-    raw_cent = cos_cent.replace("round(\n", "(\n").replace(",\n    6)", ")")
-    raw_q = cos_q.replace("round(\n", "(\n").replace(",\n    6)", ")")
+    raw_cent = _COS_RAW.format(a="e.embedding", b="c.cent")
+    raw_q = _COS_RAW.format(a="q.embedding", b="c.cent")
     return f"""
 WITH {_kmeans_cents_sql(8, 2, 64)},
 lists AS (
@@ -1040,8 +1047,8 @@ def _quality_sql() -> str:
     punct = "CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[.,!?;:]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END"
     lens = "least(CAST(length(text) AS DOUBLE)/500.0, 1.0)"
     return (
-        f"round(0.4*({alpha}) + 0.3*({lens}) + 0.2*(1.0-({upper}))"
-        f" + 0.1*(1.0-least(({punct})*5, 1.0)), 6)"
+        f"floor((0.4*({alpha}) + 0.3*({lens}) + 0.2*(1.0-({upper}))"
+        f" + 0.1*(1.0-least(({punct})*5, 1.0))) * 1000000 + 0.5) / 1000000"
     )
 
 
@@ -1061,8 +1068,9 @@ FROM events
     "window_multi_24h": f"""
 SELECT event_id, user_id, ts,
   round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ({_W24}) AS DOUBLE), 6) AS sum_24h,
-  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ({_W24}) AS DOUBLE)
-        / CAST(count(value) OVER ({_W24}) AS DOUBLE), 6) AS avg_24h,
+  floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ({_W24}) AS DOUBLE)
+        / CAST(count(value) OVER ({_W24}) AS DOUBLE) * 1000000 + 0.5)
+    / 1000000 AS avg_24h,
   CAST(min(CAST(value AS DECIMAL(18,2))) OVER ({_W24}) AS DOUBLE) AS min_24h,
   CAST(max(CAST(value AS DECIMAL(18,2))) OVER ({_W24}) AS DOUBLE) AS max_24h
 FROM events
@@ -1104,8 +1112,8 @@ SELECT user_id,
   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value,
   CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
   CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
-  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-        / count(value), 6) AS avg_value
+  floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        / count(value) * 1000000 + 0.5) / 1000000 AS avg_value
 FROM events GROUP BY 1
 """,
     "lag_lead": """
@@ -1216,7 +1224,8 @@ mx AS (
   FROM events)
 SELECT user_id, ts, purchase_id, last_click, clicks_6h_count,
   max_value_24h_max,
-  round(clicks_6h_count / (max_value_24h_max + 1.0), 6) AS clicks_per_value
+  floor(clicks_6h_count / (max_value_24h_max + 1.0) * 1000000 + 0.5)
+    / 1000000 AS clicks_per_value
 FROM (
   SELECT s.user_id, s.ts, s.purchase_id,
     CASE WHEN lc.ts >= s.ts - INTERVAL 2 HOUR THEN lc.value END AS last_click,
@@ -1250,8 +1259,9 @@ WITH ucnt AS (
   FROM events),
 tavg AS (
   SELECT event_type, ts,
-    round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-          / CAST(count(value) OVER w AS DOUBLE), 6) AS type_avg_6h
+    floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          / CAST(count(value) OVER w AS DOUBLE) * 1000000 + 0.5)
+      / 1000000 AS type_avg_6h
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
                RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW))
@@ -1271,15 +1281,15 @@ SELECT doc_id,
   CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
   length(text) AS n_chars_computed,
-  round(CASE WHEN length(text)>0 THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END, 6) AS alpha_ratio,
-  round(CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[.,!?;:]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END, 6) AS punct_ratio,
-  round(CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[A-Z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END, 6) AS upper_ratio,
-  round(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+  floor((CASE WHEN length(text)>0 THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS alpha_ratio,
+  floor((CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[.,!?;:]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+  floor((CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[A-Z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS upper_ratio,
+  floor((CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
     THEN CAST((SELECT {_lang_hits_sql('en')} FROM (SELECT ' ' || lower(text) || ' ' AS padded) _p) AS DOUBLE)
          / (CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
-    ELSE 0.0 END, 6) AS stopword_ratio,
+    ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
   {_quality_sql()} AS quality,
   md5({_NORM}) AS fingerprint
 FROM documents
@@ -1328,10 +1338,10 @@ WITH toks AS (
 SELECT doc_id,
   CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS INT) AS n_grams,
   CASE WHEN len(w) >= 3
-    THEN round(1.0 - CAST(len(list_distinct(
+    THEN floor((1.0 - CAST(len(list_distinct(
            list_transform(generate_series(1, len(w) - 2),
              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
-         / (len(w) - 2), 6)
+         / (len(w) - 2)) * 1000000 + 0.5) / 1000000
     ELSE 0.0 END AS rep_ratio
 FROM toks
 """,
@@ -1382,23 +1392,24 @@ sh AS (
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       ELSE [norm] END AS shingles
   FROM toks)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard_sim
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+SELECT id_a, id_b, jaccard_sim FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles)))
+          * 1000000 + 0.5) / 1000000 AS jaccard_sim
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+WHERE jaccard_sim >= 0.5
 """,
     "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-    round(
+    floor((
       list_sum(list_transform(list_zip(q.qv, c.embedding),
                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
       / (sqrt(list_sum(list_transform(q.qv, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
-         * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))),
-    6) AS cos_sim
+         * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))))
+      * 1000000 + 0.5) / 1000000 AS cos_sim
   FROM embeddings c, q WHERE c.vec_id != q.query_id
 )
 SELECT query_id, neighbor_id, cos_sim,
