@@ -158,8 +158,15 @@ def get_historical_fused(
     df = df.select(*proj)
 
     tsu = micros(ts_col)
+    # RANGE frame, not ROWS: a spine row must see a same-ts update
+    # regardless of physical tie order (the union-merge path gets this
+    # from its (ts, _is_spine) sort; here spine and update are source
+    # rows on one stream, and a rows-frame would make same-ts
+    # visibility depend on arbitrary intra-tie ordering — caught by
+    # the adversarial exact-gate run). Among MULTIPLE same-ts updates
+    # of one feature the winner stays tie-ambiguous in any engine.
     rows_w = (
-        W.partitionBy(*keys).orderBy(tsu).rowsBetween(W.unboundedPreceding, 0)
+        W.partitionBy(*keys).orderBy(tsu).rangeBetween(W.unboundedPreceding, 0)
     )
     lag_w = W.partitionBy(*keys).orderBy(tsu)
 

@@ -72,7 +72,39 @@ def test_filtered_keep_previous_fuses_and_matches_general(spark):
     assert _rows(fused) == _rows(general)
 
 
-def test_aggr_keep_previous_falls_back(spark):
+def test_same_ts_update_visible_in_fused_plan(spark):
+    """A filtered feature's update AT the spine row's exact ts must be
+    visible (ts' <= ts semantics) REGARDLESS of physical tie order —
+    the fused plan uses a RANGE fill frame for this (a rows-frame made
+    it depend on arbitrary intra-tie ordering; caught by the
+    adversarial exact-gate run)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from raptor_spark.specs import FeatureSetSpec, feature
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, "c1", "purchase", 100.0),
+        (2, t, "c1", "click", 7.0),       # same instant as the purchase
+        (3, t - dt.timedelta(hours=1), "c1", "click", 3.0),
+    ]
+    fs = FeatureSetSpec(
+        features=[
+            feature("pid", "user", "id", filter="kind = 'purchase'"),
+            feature("last_click", "user", "value",
+                    staleness="2h", filter="kind = 'click'"),
+        ],
+        key_feature="pid",
+    )
+    for order in ([0, 1, 2], [1, 0, 2], [2, 1, 0]):
+        src = spark.createDataFrame(
+            [rows[i] for i in order],
+            "id long, ts timestamp, user string, kind string, value double",
+        ).coalesce(1)
+        out = get_historical(src, fs).collect()
+        assert len(out) == 1 and out[0]["last_click"] == 7.0, order
     """keep_previous on an aggregated feature needs a second window
     pass — must take the general union-merge path and still compute."""
     from raptor_spark.specs import FeatureSetSpec, feature
