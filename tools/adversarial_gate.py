@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Adversarial exact-parity gate: build a stress dataset (tied
+timestamps, null events, empty/unicode/whitespace documents, zero and
+duplicate vectors) and run EVERY oracle query in bit-exact mode on it.
+
+This caught a real fused-plan bug (same-ts update visibility under
+rows-frame tie ordering) that three clean scale factors missed — run
+it whenever plan code changes:
+
+    python tools/adversarial_gate.py          # builds /tmp/sf_adv, runs gate
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/sf_adv"
+
+
+def build() -> None:
+    import duckdb
+
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    # ties: a CLICK at the exact instant of a PURCHASE (same-ts
+    # visibility; at most one update per (user, ts, feature) so the
+    # tie-winner is well-defined in every engine) + null rows
+    con.sql(f"""
+COPY (
+  SELECT * FROM '{SRC}/events.parquet'
+  UNION ALL
+  SELECT event_id + 1000000, ts, user_id, 'click', value + 7.77, props
+  FROM '{SRC}/events.parquet' WHERE event_type = 'purchase' AND event_id % 5 = 0
+  UNION ALL
+  SELECT event_id + 2000000, ts + INTERVAL 1 SECOND, user_id, NULL, NULL, NULL
+  FROM '{SRC}/events.parquet' WHERE event_id % 131 = 0
+) TO '{DST}/events.parquet' (FORMAT PARQUET)
+""")
+    con.sql(f"""
+COPY (
+  SELECT * FROM '{SRC}/documents.parquet'
+  UNION ALL
+  SELECT doc_id, text, 'en', 'adv', length(text) FROM (VALUES
+    (900001, ''), (900002, '   '), (900003, 'a'),
+    (900004, 'héllo wörld — 日本語 текст مرحبا'),
+    (900005, repeat('spam ham ', 500)),
+    (900006, chr(10) || chr(9) || '  mixed   whitespace ' || chr(10))
+  ) t(doc_id, text)
+) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+""")
+    con.sql(f"""
+COPY (
+  SELECT * FROM '{SRC}/embeddings.parquet'
+  UNION ALL
+  SELECT 900001, (SELECT list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                  FROM '{SRC}/embeddings.parquet' WHERE vec_id = 0), 0
+  UNION ALL
+  SELECT 900002, (SELECT embedding FROM '{SRC}/embeddings.parquet'
+                  WHERE vec_id = 7), 1
+) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+
+def main() -> None:
+    build()
+    env = dict(os.environ, SPARK_GRAFT_EXACT="1")
+    rc = subprocess.call(
+        [sys.executable, "tools/check_oracles.py", DST], env=env
+    )
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
