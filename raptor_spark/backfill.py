@@ -61,14 +61,23 @@ def _write_atomic(path: str, obj: dict) -> None:
     os.replace(tmp, path)  # atomic on POSIX → commit point
 
 
-def plan_hash(fs: FeatureSetSpec, n_shards: int, source_id: str) -> str:
-    """Checkpoint identity: feature plan + sharding + source. Changing
-    any of these invalidates prior shard commits."""
+def plan_hash(
+    fs: FeatureSetSpec,
+    n_shards: int,
+    source_id: str,
+    shard_expr_id: str = "key-hash",
+) -> str:
+    """Checkpoint identity: feature plan + sharding (count AND the
+    shard-ASSIGNMENT expression — a ``shard_col`` run whose column
+    partitions keys differently from key-hashing must not share
+    identity with it, ADVICE r2) + source. Changing any of these
+    invalidates prior shard commits."""
     spec_repr = repr([(f.name, f.keys, str(f.expr), f.timestamp_col,
                        f.staleness_us, f.aggr, f.keep_previous, f.filter)
                       for f in fs.features])
     h = hashlib.sha256(
-        f"{spec_repr}|{fs.key_feature}|{n_shards}|{source_id}".encode()
+        f"{spec_repr}|{fs.key_feature}|{n_shards}|{shard_expr_id}|"
+        f"{source_id}".encode()
     )
     return h.hexdigest()[:16]
 
@@ -152,7 +161,26 @@ def backfill(
     """
     key = shard_key or fs.resolve_key_feature().keys[0]
     ts_col = fs.resolve_key_feature().timestamp_col
-    phash = plan_hash(fs, n_shards, source_id)
+
+    key_hash_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
+    shard_expr = (
+        F.pmod(F.col(shard_col).cast("long"), F.lit(n_shards))
+        if shard_col
+        else key_hash_expr
+    )
+    shard_expr_id = "key-hash"
+    if shard_col:
+        # a shard_col run may only share checkpoint identity with
+        # key-hash sharding when the ASSIGNMENTS agree (e.g. catalog
+        # pbucket with n_buckets % n_shards == 0) — otherwise a resume
+        # would skip shards whose key membership differs (ADVICE r2).
+        # Verified on the data: one column-pruned aggregate.
+        mismatch = source.select(
+            F.max((shard_expr != key_hash_expr).cast("int")).alias("m")
+        ).first()["m"]
+        if mismatch:
+            shard_expr_id = f"col:{shard_col}"
+    phash = plan_hash(fs, n_shards, source_id, shard_expr_id)
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
 
     done = committed_shards(out_dir, phash) if resume else set()
@@ -168,11 +196,6 @@ def backfill(
     in_rows = out_rows = 0
     ran = skipped = 0
 
-    shard_expr = (
-        F.pmod(F.col(shard_col).cast("long"), F.lit(n_shards))
-        if shard_col
-        else F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
-    )
     # ONE pass over the source for every shard's row count (+ the
     # incremental fingerprint fields) — not a per-shard aggregate job.
     # Plain-resume runs with nothing left to do skip even this scan

@@ -158,21 +158,55 @@ def get_historical_fused(
     df = df.select(*proj)
 
     tsu = micros(ts_col)
-    # RANGE frame, not ROWS: a spine row must see a same-ts update
-    # regardless of physical tie order (the union-merge path gets this
-    # from its (ts, _is_spine) sort; here spine and update are source
-    # rows on one stream, and a rows-frame would make same-ts
-    # visibility depend on arbitrary intra-tie ordering — caught by
-    # the adversarial exact-gate run). Among MULTIPLE same-ts updates
-    # of one feature the winner stays tie-ambiguous in any engine.
-    rows_w = (
-        W.partitionBy(*keys).orderBy(tsu).rangeBetween(W.unboundedPreceding, 0)
-    )
+    # Same-ts update visibility (ts' <= ts semantics): a spine row must
+    # see an update AT its exact ts regardless of physical tie order
+    # (the union-merge path gets this from its (ts, _is_spine) sort;
+    # here spine and update are source rows on ONE stream). Round 2
+    # used a RANGE(unboundedPreceding, 0) fill frame — correct but
+    # ~30% slower (WindowExec evaluates a range-bound projection per
+    # row). Round 3: per NON-total feature, sort ties UPDATES-FIRST
+    # (orderBy(tsu, v.isNull())) so a plain ROWS growing frame and the
+    # `lag ... IGNORE NULLS` keep_previous chain are both tie-correct
+    # AND deterministic (the RANGE last() was physical-order dependent
+    # for multiple same-ts updates; ADVICE r2 flagged the lag chain).
+    # With at most one update per (key, ts, feature) the two designs
+    # are exactly equivalent; among MULTIPLE same-ts updates of one
+    # feature the winner stays tie-ambiguous in any engine.
     lag_w = W.partitionBy(*keys).orderBy(tsu)
 
-    out_cols: list = []
+    nontotal = [s for s in fs.features if not _expr_total(s)]
+
+    def _tie_w(spec: FeatureSpec):
+        return W.partitionBy(*keys).orderBy(
+            tsu, F.col(vname[spec.name]).isNull()
+        )
+
+    def _tie_rows(spec: FeatureSpec):
+        return _tie_w(spec).rowsBetween(W.unboundedPreceding, 0)
+
+    if nontotal:
+        # ONE explicit shuffle + in-partition sort matching the FIRST
+        # non-total feature's tie order: its fill window and every
+        # orderBy(tsu)-prefixed window (sliding aggs, total lags) reuse
+        # it — same 1-Exchange/1-Sort plan as round 1. Each ADDITIONAL
+        # non-total feature re-sorts in-partition (narrow projected
+        # rows, no exchange).
+        df = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+            *[F.col(k) for k in keys],
+            tsu,
+            F.col(vname[nontotal[0].name]).isNull(),
+        )
+
+    # Stage 1: every window ordered by tsu alone — total feature
+    # outputs, total keep_previous lags, and the anchored sliding
+    # aggregates that non-total fills consume. Stage 2 (a second
+    # select, so these Window ops sit BELOW the tie-ordered ones):
+    # per-feature tie-ordered fills / guards / update-lag chains.
+    stage1_cols: list = []
+    stage2_cols: list = []
+    out_names: list[str] = []
     key_value = None
-    for spec in fs.features:
+    for i, spec in enumerate(fs.features):
         v = F.col(vname[spec.name])
         if spec.aggr is not None:
             a = spec.aggr
@@ -188,34 +222,40 @@ def get_historical_fused(
                 # exprs are assumed total — express None-semantics via
                 # ``filter``, which takes the publish/fill path below.
                 for fn in a.fns:
-                    out_cols.append(
+                    stage1_cols.append(
                         _agg_over(fn, v, rw).alias(f"{spec.name}_{fn}")
                     )
+                    out_names.append(f"{spec.name}_{fn}")
                 continue
+            tie_rows = _tie_rows(spec)
             upd_ts = F.last(F.when(v.isNotNull(), tsu), ignorenulls=True).over(
-                rows_w
+                tie_rows
             )
             guard = upd_ts >= tsu - F.lit(a.over_us)
             for fn in a.fns:
-                anchored = _agg_over(fn, v, rw)
-                published = F.when(v.isNotNull(), anchored)
-                filled = F.last(published, ignorenulls=True).over(rows_w)
-                out_cols.append(
+                anch = f"_anch_{i}_{fn}"
+                stage1_cols.append(_agg_over(fn, v, rw).alias(anch))
+                published = F.when(v.isNotNull(), F.col(anch))
+                filled = F.last(published, ignorenulls=True).over(tie_rows)
+                stage2_cols.append(
                     F.when(guard, filled).alias(f"{spec.name}_{fn}")
                 )
+                out_names.append(f"{spec.name}_{fn}")
         else:
             st = spec.effective_staleness_us
             if not _expr_total(spec):
-                filled = F.last(v, ignorenulls=True).over(rows_w)
+                tie_rows = _tie_rows(spec)
+                filled = F.last(v, ignorenulls=True).over(tie_rows)
                 upd_ts = F.last(
                     F.when(v.isNotNull(), tsu), ignorenulls=True
-                ).over(rows_w)
+                ).over(tie_rows)
                 col = (
                     F.when(upd_ts >= tsu - F.lit(st), filled) if st > 0 else filled
                 )
+                stage2_cols.append(col.alias(spec.name))
             else:
-                col = v
-            out_cols.append(col.alias(spec.name))
+                stage1_cols.append(v.alias(spec.name))
+            out_names.append(spec.name)
             if spec is key_feature:
                 # spine membership = the key feature has a value AT
                 # this row (raw expr non-null, fs.go:35-49) — NOT the
@@ -240,16 +280,20 @@ def get_historical_fused(
                             lagged = F.when(
                                 lag_ts >= tsu - F.lit(n * kp.over_us), lagged
                             )
+                        stage1_cols.append(lagged.alias(f"{spec.name}_prev{n}"))
                     else:
                         # filtered expr: versions count UPDATE rows. At a
                         # row the latest update is itself (v non-null) or
-                        # strictly earlier (v null) — so the n-th version
-                        # before the latest is the n-th / (n+1)-th
-                        # previous non-null respectively.
-                        def _ign(sql: str, off: int):
-                            return F.expr(f"lag({sql}, {off}) ignore nulls").over(
-                                lag_w
-                            )
+                        # strictly earlier (v null; same-ts updates sort
+                        # BEFORE this row, so the IGNORE-NULLS walk sees
+                        # them) — the n-th version before the latest is
+                        # the n-th / (n+1)-th previous non-null.
+                        tie_w = _tie_w(spec)
+
+                        def _ign(sql: str, off: int, _w=tie_w):
+                            return F.expr(
+                                f"lag({sql}, {off}) ignore nulls"
+                            ).over(_w)
 
                         lagged = F.when(v.isNotNull(), _ign(vn, n)).otherwise(
                             _ign(vn, n + 1)
@@ -260,16 +304,20 @@ def get_historical_fused(
                             ).otherwise(_ign(vts_sql, n + 1))
                             anchor = F.last(
                                 F.when(v.isNotNull(), tsu), ignorenulls=True
-                            ).over(rows_w)
+                            ).over(_tie_rows(spec))
                             lagged = F.when(
                                 pts >= anchor - F.lit(n * kp.over_us), lagged
                             )
-                    out_cols.append(lagged.alias(f"{spec.name}_prev{n}"))
+                        stage2_cols.append(lagged.alias(f"{spec.name}_prev{n}"))
+                    out_names.append(f"{spec.name}_prev{n}")
 
-    out = df.select(
+    staged = df.select("*", *stage1_cols)
+    if stage2_cols:
+        staged = staged.select("*", *stage2_cols)
+    out = staged.select(
         *keys,
         F.col(ts_col),
-        *out_cols,
+        *out_names,
         *( [key_value.isNotNull().alias("_spine")] if key_value is not None else [] ),
     )
     # spine = rows where the key feature's RAW expr is non-null
@@ -325,7 +373,12 @@ def historical_from_store(
             fqn_cols = [(spec.fqn, spec.name)]
         df = catalog.read_feature_values(table, [f for f, _ in fqn_cols], vt)
         if since is not None:
-            lo = since - dt.timedelta(microseconds=spec.effective_staleness_us)
+            pad_us = spec.effective_staleness_us
+            if spec.keep_previous is not None and spec.keep_previous.over_us > 0:
+                pad_us += (
+                    spec.keep_previous.versions * spec.keep_previous.over_us
+                )
+            lo = since - dt.timedelta(microseconds=pad_us)
             df = df.filter(F.col(ts_col) >= F.lit(lo))
         if until is not None:
             df = df.filter(F.col(ts_col) <= F.lit(until))
@@ -337,6 +390,44 @@ def historical_from_store(
                 for f, c in fqn_cols
             ],
         )
+        prev_cols: list[str] = []
+        if spec.keep_previous is not None:
+            # keep_previous from the STORE: the per-fqn rows ARE the
+            # update stream, so version n = n-th previous non-null of
+            # the column (rows for sibling fqns of one feature
+            # interleave → IGNORE NULLS; ties sort updates-first like
+            # the fused plan). Emitted non-null only at the column's
+            # own update rows so the as-of forward-fill carries
+            # (value, prev*) as ONE consistent PIT version.
+            kp = spec.keep_previous
+            tsu_c = micros(ts_col)
+            prev_exprs = []
+            for _, c in fqn_cols:
+                tie_w = W.partitionBy("_keys").orderBy(
+                    tsu_c, F.col(c).isNull()
+                )
+                c_ts_sql = (
+                    f"CASE WHEN `{c}` IS NOT NULL THEN "
+                    f"unix_micros(cast({ts_col} as timestamp)) END"
+                )
+                for n in range(1, kp.versions + 1):
+                    lagged = F.expr(f"lag(`{c}`, {n}) ignore nulls").over(
+                        tie_w
+                    )
+                    if kp.over_us > 0:
+                        lag_ts = F.expr(
+                            f"lag({c_ts_sql}, {n}) ignore nulls"
+                        ).over(tie_w)
+                        lagged = F.when(
+                            lag_ts >= tsu_c - F.lit(n * kp.over_us), lagged
+                        )
+                    prev_exprs.append(
+                        F.when(F.col(c).isNotNull(), lagged).alias(
+                            f"{c}_prev{n}"
+                        )
+                    )
+                    prev_cols.append(f"{c}_prev{n}")
+            fv = fv.select("*", *prev_exprs)
         missing = [k for k in spec.keys if k not in spine.columns]
         if missing:
             raise ValueError(
@@ -348,6 +439,10 @@ def historical_from_store(
         st = spec.effective_staleness_us
         for _, c in fqn_cols:
             staleness[c] = st
+            cols.append(c)
+        for c in prev_cols:
+            # prev columns carry their own age guard (no W4 cutoff)
+            staleness[c] = 0
             cols.append(c)
 
     out = spine

@@ -278,6 +278,22 @@ def _compile_call(node: ast.Call, c: _Ctx) -> Column:
     raise ProgramError(f"unsupported call form (line {node.lineno})")
 
 
+def _terminates(stmts: list[ast.stmt]) -> bool:
+    """True when every control path through ``stmts`` hits a return —
+    the fall-through continuation after them is unreachable."""
+    for s in stmts:
+        if isinstance(s, ast.Return):
+            return True
+        if (
+            isinstance(s, ast.If)
+            and s.orelse
+            and _terminates(s.body)
+            and _terminates(s.orelse)
+        ):
+            return True
+    return False
+
+
 def _compile_body(
     stmts: list[ast.stmt], c: _Ctx, cont: Optional[Column] = None
 ) -> Column:
@@ -299,7 +315,15 @@ def _compile_body(
             return F.lit(None)
         return _compile_expr(head.value, c)
     if isinstance(head, ast.If):
-        fall = _compile_body(rest, c, cont)
+        # only compile the fall-through when some branch can reach it —
+        # an exhaustive if/else that returns on every path must NOT set
+        # may_be_null via the (unreachable) empty-rest continuation,
+        # which would route a total handler through the publish/fill
+        # machinery (ADVICE r2)
+        if head.orelse and _terminates(head.body) and _terminates(head.orelse):
+            fall = None
+        else:
+            fall = _compile_body(rest, c, cont)
         then_col = _compile_body(head.body, c, fall)
         else_col = _compile_body(head.orelse, c, fall)
         return F.when(_compile_expr(head.test, c), then_col).otherwise(else_col)

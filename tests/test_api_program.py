@@ -111,10 +111,36 @@ class TestProgramCompiler:
         def ternary_null(this_row, ctx) -> float:
             return 1.0 if this_row["role"] == "tool" else None
 
+        def exhaustive(this_row, ctx) -> float:
+            if this_row["role"] == "tool":
+                return 1.0
+            else:
+                return 2.0
+
+        def exhaustive_elif(this_row, ctx) -> float:
+            if this_row["role"] == "tool":
+                return 1.0
+            elif this_row["role"] == "user":
+                return 2.0
+            else:
+                return 3.0
+
+        def elif_no_else(this_row, ctx) -> float:
+            if this_row["role"] == "tool":
+                return 1.0
+            elif this_row["role"] == "user":
+                return 2.0
+
         assert compile_handler(partial).may_be_null
         assert not compile_handler(total).may_be_null
         assert compile_handler(fall_off).may_be_null
         assert compile_handler(ternary_null).may_be_null
+        # every branch returns → the fall-through is unreachable and
+        # must NOT mark the handler nullable (ADVICE r2: a false
+        # positive routes a total handler through the fill machinery)
+        assert not compile_handler(exhaustive).may_be_null
+        assert not compile_handler(exhaustive_elif).may_be_null
+        assert compile_handler(elif_no_else).may_be_null
 
 
 class TestDecoratorSurface:

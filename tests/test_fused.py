@@ -75,12 +75,12 @@ def test_filtered_keep_previous_fuses_and_matches_general(spark):
 def test_same_ts_update_visible_in_fused_plan(spark):
     """A filtered feature's update AT the spine row's exact ts must be
     visible (ts' <= ts semantics) REGARDLESS of physical tie order —
-    the fused plan uses a RANGE fill frame for this (a rows-frame made
-    it depend on arbitrary intra-tie ordering; caught by the
-    adversarial exact-gate run)."""
+    the fused plan sorts ties updates-first per feature so its ROWS
+    fill frame and the keep_previous lag chain both see the same-ts
+    update deterministically (a plain ts-ordered rows-frame made it
+    depend on arbitrary intra-tie ordering; caught by the adversarial
+    exact-gate run, and the un-tiebroken lag chain by ADVICE r2)."""
     import datetime as dt
-
-    from pyspark.sql import functions as F
 
     from raptor_spark.specs import FeatureSetSpec, feature
 
@@ -94,17 +94,26 @@ def test_same_ts_update_visible_in_fused_plan(spark):
         features=[
             feature("pid", "user", "id", filter="kind = 'purchase'"),
             feature("last_click", "user", "value",
-                    staleness="2h", filter="kind = 'click'"),
+                    staleness="2h", filter="kind = 'click'",
+                    keep_previous=(1, "0")),
         ],
         key_feature="pid",
     )
-    for order in ([0, 1, 2], [1, 0, 2], [2, 1, 0]):
+    for order in ([0, 1, 2], [1, 0, 2], [2, 1, 0], [0, 2, 1], [2, 0, 1]):
         src = spark.createDataFrame(
             [rows[i] for i in order],
             "id long, ts timestamp, user string, kind string, value double",
         ).coalesce(1)
         out = get_historical(src, fs).collect()
-        assert len(out) == 1 and out[0]["last_click"] == 7.0, order
+        assert len(out) == 1, order
+        # value: the same-ts click; prev1: the strictly-earlier click —
+        # latest update includes the tied one, so the version chain
+        # must count it (nondeterministic before the tie-order fix)
+        assert out[0]["last_click"] == 7.0, order
+        assert out[0]["last_click_prev1"] == 3.0, order
+
+
+def test_aggregated_keep_previous_takes_general_path(spark):
     """keep_previous on an aggregated feature needs a second window
     pass — must take the general union-merge path and still compute."""
     from raptor_spark.specs import FeatureSetSpec, feature

@@ -44,6 +44,29 @@ def test_store_read_equals_recompute(spark, tmp_path):
     assert "fqn" in plan and "PartitionFilters" in plan
 
 
+def test_store_read_keep_previous_equals_recompute(spark, tmp_path):
+    """keep_previous from the store: version columns are lagged over
+    the materialized per-fqn update stream — equal to the
+    recompute-from-source path (silently dropped before ADVICE r2)."""
+    src = transcripts(spark, 10).cache()
+    turn_len = feature(
+        "turn_len", "conv_id", "cast(length(text) as double)",
+        staleness="30m", keep_previous=(2, "1h"),
+    )
+    fs = FeatureSetSpec(features=[turn_len], key_feature="turn_len")
+
+    cat = Catalog(spark, root=str(tmp_path))
+    cat.write_feature_values(replay(src, turn_len), "features")
+
+    spine = src.filter(F.col("role") == "user").select("conv_id", "ts")
+    from_store = historical_from_store(cat, "features", fs, spine)
+    recomputed = get_historical(src, fs, spine=spine)
+    assert "turn_len_prev1" in from_store.columns
+    assert "turn_len_prev2" in from_store.columns
+    assert sorted(from_store.columns) == sorted(recomputed.columns)
+    assert _rows(from_store) == _rows(recomputed)
+
+
 def test_store_read_heterogeneous_families(spark, tmp_path):
     src = transcripts(spark, 8).cache()
     turn_len = feature(
