@@ -31,6 +31,8 @@ HEADLINE = [
     "backfill_wide",        # PIT as-of merge of 3 features (flagship)
     "api_backfill",         # decorator API + handler AST compile
     "kp_filtered",          # fused filtered keep_previous (lag ignore nulls)
+    "store_read_pit",       # production read: materialize + store as-of
+    "online_serve",         # online-store latest+staleness serving
     "hetero_keys",          # two key families, per-family as-of passes
     "pit_asof_join",        # J1 single-feature as-of
     "window_multi_24h",     # A1-A3 exact sliding window

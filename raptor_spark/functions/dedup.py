@@ -269,6 +269,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
+    fallback_star: bool = True,
 ) -> DataFrame:
     """Duplicate clusters from candidate pairs: connected components by
     min-label propagation. Returns (id, cluster_rep = min id in the
@@ -339,12 +340,121 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
+        if fallback_star:
+            # high-diameter graph (min-label propagation needs
+            # O(diameter) rounds) → the O(log²)-round alternating-star
+            # algorithm on the already-checkpointed edge list
+            return _star_components(edges, max_iter=max(2 * max_iter, 50))
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
-            "raise max_iter or switch to large-star/small-star for "
+            "raise max_iter or use connected_components_star for "
             "high-diameter graphs"
         )
     return labels.select(F.col("id"), F.col("label").alias("cluster_rep"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (the two-phase MapReduce CC algorithm: per round every node hooks
+    its larger neighbors (large-star) / its smaller neighbors and
+    itself (small-star) onto the minimum of its closed neighborhood).
+    Converges on ANY graph in O(log² n) rounds — the high-diameter
+    complement to min-label propagation (O(diameter) rounds, the right
+    default for near-dup graphs of tiny cliques/chains). Same output
+    contract: (id, cluster_rep = min id in the component)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return _star_components(edges, max_iter=max_iter)
+
+
+def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Core alternating-star loop over a materialized BOTH-DIRECTIONS
+    edge list (src, dst). Each round is large-star ∘ small-star; the
+    fixpoint is a forest of stars whose centers are the component
+    minima. Convergence test: canonical-edge-set checksum (count +
+    xor of row hashes) — an order-independent aggregate on the freshly
+    checkpointed round output, no join."""
+    # canonical (hi, lo): hi > lo
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("hi"),
+            F.least("src", "dst").alias("lo"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("hi", "lo")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        b = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = b.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        out = (
+            b.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(
+                F.greatest("v", "m").alias("hi"), F.least("v", "m").alias("lo")
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        return out
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        # canonical edges already point large→small: group by hi
+        m = cur.groupBy("hi").agg(F.min("lo").alias("m"))
+        withm = cur.join(m, "hi")
+        out = (
+            withm.select(F.col("lo").alias("x"), F.col("m").alias("y"))
+            .unionByName(withm.select(F.col("hi").alias("x"), F.col("m").alias("y")))
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo")
+            )
+            .distinct()
+        )
+        return out
+
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star components did not converge in {max_iter} rounds"
+        )
+    # fixpoint edges are (member, center): label = center, centers and
+    # isolated-in-final nodes label themselves
+    return nodes.join(
+        e.select(F.col("hi").alias("id"), F.col("lo").alias("rep")), "id", "left"
+    ).select("id", F.coalesce(F.col("rep"), F.col("id")).alias("cluster_rep"))
 
 
 def window_fingerprints(

@@ -107,15 +107,30 @@ def lsh_signature(
     return sig
 
 
+def auto_n_planes(
+    df: DataFrame, id_col: str = "vec_id", target_bucket: int = 64
+) -> int:
+    """Derive the LSH plane count from the corpus size: one cheap
+    approx-count scan, n ≈ log2(rows / target_bucket), clamped to
+    [4, 24] (2^24 buckets ≈ 16M — beyond that raise target_bucket, not
+    planes). The sizing rule the 10⁹-row docstrings quote, applied
+    automatically."""
+    import math
+
+    n_rows = df.select(F.approx_count_distinct(id_col).alias("n")).first()["n"]
+    return max(4, min(24, math.ceil(math.log2(max(n_rows, 1) / target_bucket))))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     n_plane_sets: int = 1,
     max_bucket: int = 0,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: only pairs
     whose random-hyperplane signatures are EQUAL are scored (one
@@ -134,7 +149,15 @@ def embedding_neardup_pairs(
     - ``max_bucket``: drop buckets larger than this before the
       self-join (0 = uncapped) — a degenerate bucket (e.g. zero
       vectors) otherwise puts O(n²) pairs in one task.
+
+    ``n_planes=None`` AUTO-SIZES from the corpus: one cheap
+    approx-count scan derives n ≈ log2(rows / target_bucket), clamped
+    to [4, 24] — the sizing rule above applied automatically, so a
+    caller who never tunes still gets ~``target_bucket``-row mean
+    buckets at any corpus size instead of the demo-scale fixed 8.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(df, id_col, target_bucket)
     parts = []
     for s in range(n_plane_sets):
         parts.append(
@@ -184,6 +207,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 1 << 20,
+    sample_n: int | None = None,
 ) -> list[list[float]]:
     """Deterministic distributed Lloyd k-means for IVF centroids.
 
@@ -199,6 +223,14 @@ def kmeans_fit(
       ``round(_, 6)`` INSIDE Spark SQL so half-up rounding matches
       ANSI SQL; empty clusters keep their previous centroid.
 
+    ``sample_n``: train on a DETERMINISTIC bounded sample — the first
+    ``sample_n`` rows by id (same orderBy+limit idiom as init) — and
+    let the caller assign the full corpus ONCE with the returned
+    centroids. This is the 100 TB shape: Lloyd quality needs a
+    representative sample, not the corpus, so the per-iteration scan
+    cost is O(sample) instead of O(corpus) (the round-2 weak-at-scale
+    finding). None = train on the full frame (small-corpus exactness).
+
     The per-iteration driver collect is k rows of k centroids — small
     by definition; all heavy work (assignment scan + per-dim sums) is
     distributed and map-side combined. Returns centroids as a list
@@ -207,8 +239,23 @@ def kmeans_fit(
     import math
 
     v = F.col(vec_col)
+    train = df
+    if sample_n is not None:
+        if sample_n < k:
+            raise ValueError(f"sample_n={sample_n} < k={k}")
+        # orderBy+limit → TakeOrderedAndProject (top-N per partition,
+        # merged once — never a full sort); the bounded result is
+        # re-spread across the executors and kept hot for the
+        # iteration loop
+        train = (
+            df.select(F.col(id_col), v)
+            .orderBy(id_col)
+            .limit(sample_n)
+            .repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .cache()
+        )
     init = (
-        df.select(F.col(id_col).alias("_cid"), v.alias("_c"))
+        train.select(F.col(id_col).alias("_cid"), v.alias("_c"))
         .orderBy("_cid")
         .limit(k)
         .collect()
@@ -222,7 +269,7 @@ def kmeans_fit(
         # a Python constant — same sqrt(Σx²) sequential sum as the SQL
         # oracle, so cosine bits are unchanged, but the assignment expr
         # shrinks ~2x (codegen) and the norm fold runs 1x per row, not k
-        staged = df.select(v.alias("_v"), norm(v).alias("_vn"))
+        staged = train.select(v.alias("_v"), norm(v).alias("_vn"))
         sv, svn = F.col("_v"), F.col("_vn")
 
         def _cos_lit(c: list[float]) -> Column:
@@ -264,6 +311,8 @@ def kmeans_fit(
             by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
         for cid, comps in by_cid.items():
             cents[cid] = [comps[j] for j in range(dim)]
+    if sample_n is not None:
+        train.unpersist()
     return cents
 
 

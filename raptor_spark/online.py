@@ -83,7 +83,12 @@ class OnlineStore:
 
     # -- read ----------------------------------------------------------
     def _latest(self, fv: DataFrame) -> DataFrame:
-        w = W.partitionBy("fqn", "keys").orderBy(F.col("ts").desc())
+        # deterministic tie rule: newest ts, then greatest value — two
+        # writes at the SAME instant must resolve identically on every
+        # run/engine (row_number over ts alone is physical-order luck)
+        w = W.partitionBy("fqn", "keys").orderBy(
+            F.col("ts").desc(), F.col("value").desc()
+        )
         return (
             fv.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

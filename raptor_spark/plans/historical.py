@@ -158,55 +158,32 @@ def get_historical_fused(
     df = df.select(*proj)
 
     tsu = micros(ts_col)
-    # Same-ts update visibility (ts' <= ts semantics): a spine row must
-    # see an update AT its exact ts regardless of physical tie order
-    # (the union-merge path gets this from its (ts, _is_spine) sort;
-    # here spine and update are source rows on ONE stream). Round 2
-    # used a RANGE(unboundedPreceding, 0) fill frame — correct but
-    # ~30% slower (WindowExec evaluates a range-bound projection per
-    # row). Round 3: per NON-total feature, sort ties UPDATES-FIRST
-    # (orderBy(tsu, v.isNull())) so a plain ROWS growing frame and the
-    # `lag ... IGNORE NULLS` keep_previous chain are both tie-correct
-    # AND deterministic (the RANGE last() was physical-order dependent
-    # for multiple same-ts updates; ADVICE r2 flagged the lag chain).
-    # With at most one update per (key, ts, feature) the two designs
-    # are exactly equivalent; among MULTIPLE same-ts updates of one
-    # feature the winner stays tie-ambiguous in any engine.
+    # RANGE fill frame, not ROWS: a spine row must see a same-ts update
+    # regardless of physical tie order (the union-merge path gets this
+    # from its (ts, _is_spine) sort; here spine and update are source
+    # rows on one stream, and a rows-frame would make same-ts
+    # visibility depend on arbitrary intra-tie ordering — caught by
+    # the adversarial exact-gate run). Among MULTIPLE same-ts updates
+    # of one feature the winner stays tie-ambiguous in any engine.
+    #
+    # Measured note (r3): a per-feature updates-first tie sort
+    # (orderBy(tsu, v.isNull()) + ROWS frames) is exactly equivalent
+    # and removes the range-bound evaluation, but needs a SECOND
+    # WindowExec below the orderBy(tsu) sliding aggregates — a
+    # same-JVM alternating A/B at 48M turns put that design ~15-20%
+    # SLOWER than the single-WindowExec RANGE plan (tools/ab_fused.py;
+    # BENCH/BASELINE.md r3), so RANGE fill + one WindowExec stays. The
+    # tie ordering IS used below for the filtered keep_previous lag
+    # chains, whose `lag IGNORE NULLS` walk has no tie-aware frame
+    # equivalent and was order-dependent without it (ADVICE r2).
+    rows_w = (
+        W.partitionBy(*keys).orderBy(tsu).rangeBetween(W.unboundedPreceding, 0)
+    )
     lag_w = W.partitionBy(*keys).orderBy(tsu)
 
-    nontotal = [s for s in fs.features if not _expr_total(s)]
-
-    def _tie_w(spec: FeatureSpec):
-        return W.partitionBy(*keys).orderBy(
-            tsu, F.col(vname[spec.name]).isNull()
-        )
-
-    def _tie_rows(spec: FeatureSpec):
-        return _tie_w(spec).rowsBetween(W.unboundedPreceding, 0)
-
-    if nontotal:
-        # ONE explicit shuffle + in-partition sort matching the FIRST
-        # non-total feature's tie order: its fill window and every
-        # orderBy(tsu)-prefixed window (sliding aggs, total lags) reuse
-        # it — same 1-Exchange/1-Sort plan as round 1. Each ADDITIONAL
-        # non-total feature re-sorts in-partition (narrow projected
-        # rows, no exchange).
-        df = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
-            *[F.col(k) for k in keys],
-            tsu,
-            F.col(vname[nontotal[0].name]).isNull(),
-        )
-
-    # Stage 1: every window ordered by tsu alone — total feature
-    # outputs, total keep_previous lags, and the anchored sliding
-    # aggregates that non-total fills consume. Stage 2 (a second
-    # select, so these Window ops sit BELOW the tie-ordered ones):
-    # per-feature tie-ordered fills / guards / update-lag chains.
-    stage1_cols: list = []
-    stage2_cols: list = []
-    out_names: list[str] = []
+    out_cols: list = []
     key_value = None
-    for i, spec in enumerate(fs.features):
+    for spec in fs.features:
         v = F.col(vname[spec.name])
         if spec.aggr is not None:
             a = spec.aggr
@@ -222,40 +199,34 @@ def get_historical_fused(
                 # exprs are assumed total — express None-semantics via
                 # ``filter``, which takes the publish/fill path below.
                 for fn in a.fns:
-                    stage1_cols.append(
+                    out_cols.append(
                         _agg_over(fn, v, rw).alias(f"{spec.name}_{fn}")
                     )
-                    out_names.append(f"{spec.name}_{fn}")
                 continue
-            tie_rows = _tie_rows(spec)
             upd_ts = F.last(F.when(v.isNotNull(), tsu), ignorenulls=True).over(
-                tie_rows
+                rows_w
             )
             guard = upd_ts >= tsu - F.lit(a.over_us)
             for fn in a.fns:
-                anch = f"_anch_{i}_{fn}"
-                stage1_cols.append(_agg_over(fn, v, rw).alias(anch))
-                published = F.when(v.isNotNull(), F.col(anch))
-                filled = F.last(published, ignorenulls=True).over(tie_rows)
-                stage2_cols.append(
+                anchored = _agg_over(fn, v, rw)
+                published = F.when(v.isNotNull(), anchored)
+                filled = F.last(published, ignorenulls=True).over(rows_w)
+                out_cols.append(
                     F.when(guard, filled).alias(f"{spec.name}_{fn}")
                 )
-                out_names.append(f"{spec.name}_{fn}")
         else:
             st = spec.effective_staleness_us
             if not _expr_total(spec):
-                tie_rows = _tie_rows(spec)
-                filled = F.last(v, ignorenulls=True).over(tie_rows)
+                filled = F.last(v, ignorenulls=True).over(rows_w)
                 upd_ts = F.last(
                     F.when(v.isNotNull(), tsu), ignorenulls=True
-                ).over(tie_rows)
+                ).over(rows_w)
                 col = (
                     F.when(upd_ts >= tsu - F.lit(st), filled) if st > 0 else filled
                 )
-                stage2_cols.append(col.alias(spec.name))
             else:
-                stage1_cols.append(v.alias(spec.name))
-            out_names.append(spec.name)
+                col = v
+            out_cols.append(col.alias(spec.name))
             if spec is key_feature:
                 # spine membership = the key feature has a value AT
                 # this row (raw expr non-null, fs.go:35-49) — NOT the
@@ -271,6 +242,14 @@ def get_historical_fused(
                     f"CASE WHEN {vn} IS NOT NULL THEN "
                     f"unix_micros(cast({ts_col} as timestamp)) END"
                 )
+                # filtered kp: the IGNORE-NULLS lag walk must count a
+                # same-ts update (the RANGE fill above sees it, so the
+                # version chain must too) — order ties UPDATES-FIRST
+                # per feature. Deterministic under the at-most-one-
+                # update-per-(key,ts,feature) contract; adds one
+                # Window pass only for feature sets that HAVE a
+                # filtered kp (ADVICE r2 fix).
+                tie_w = W.partitionBy(*keys).orderBy(tsu, v.isNull())
                 for n in range(1, kp.versions + 1):
                     if _expr_total(spec):
                         # total expr: every row is an update → plain lag
@@ -280,16 +259,13 @@ def get_historical_fused(
                             lagged = F.when(
                                 lag_ts >= tsu - F.lit(n * kp.over_us), lagged
                             )
-                        stage1_cols.append(lagged.alias(f"{spec.name}_prev{n}"))
                     else:
                         # filtered expr: versions count UPDATE rows. At a
                         # row the latest update is itself (v non-null) or
                         # strictly earlier (v null; same-ts updates sort
-                        # BEFORE this row, so the IGNORE-NULLS walk sees
+                        # BEFORE this row in tie_w, so the walk sees
                         # them) — the n-th version before the latest is
                         # the n-th / (n+1)-th previous non-null.
-                        tie_w = _tie_w(spec)
-
                         def _ign(sql: str, off: int, _w=tie_w):
                             return F.expr(
                                 f"lag({sql}, {off}) ignore nulls"
@@ -304,20 +280,16 @@ def get_historical_fused(
                             ).otherwise(_ign(vts_sql, n + 1))
                             anchor = F.last(
                                 F.when(v.isNotNull(), tsu), ignorenulls=True
-                            ).over(_tie_rows(spec))
+                            ).over(rows_w)
                             lagged = F.when(
                                 pts >= anchor - F.lit(n * kp.over_us), lagged
                             )
-                        stage2_cols.append(lagged.alias(f"{spec.name}_prev{n}"))
-                    out_names.append(f"{spec.name}_prev{n}")
+                    out_cols.append(lagged.alias(f"{spec.name}_prev{n}"))
 
-    staged = df.select("*", *stage1_cols)
-    if stage2_cols:
-        staged = staged.select("*", *stage2_cols)
-    out = staged.select(
+    out = df.select(
         *keys,
         F.col(ts_col),
-        *out_names,
+        *out_cols,
         *( [key_value.isNotNull().alias("_spine")] if key_value is not None else [] ),
     )
     # spine = rows where the key feature's RAW expr is non-null

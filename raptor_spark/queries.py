@@ -357,6 +357,97 @@ def q_kp_filtered(spark, sf_dir):
     )
 
 
+def q_store_read_pit(spark, sf_dir):
+    """S7 production read shape (featureset.tmpl.sql:104-122): the SAME
+    training set as backfill_wide assembled FROM THE MATERIALIZED
+    STORE — each feature replayed to the canonical long relation,
+    written through the partitioned catalog (fqn hive dirs), then
+    per-fqn partition-pruned scans union-merge in ONE as-of pass on
+    the encoded key. Oracle = backfill_wide's SQL: store read ≡
+    recompute is the contract."""
+    import hashlib
+    import shutil
+
+    from .plans.historical import historical_from_store
+    from .plans.replay import replay
+    from .sources.catalog import Catalog
+    from .specs import FeatureSetSpec, feature
+
+    ev = _t(spark, sf_dir, "events")
+    last_click = feature("last_click", "user_id", "value",
+                         staleness="2h", filter="event_type = 'click'")
+    spend = feature("spend_24h", "user_id", f"cast(value as {DEC})",
+                    aggr=["sum"], over="24h",
+                    filter="event_type = 'purchase'")
+    cnt = feature("events_1h", "user_id", "value",
+                  aggr=["count"], over="1h")
+    fs = FeatureSetSpec(
+        features=[last_click, spend, cnt], key_feature="last_click"
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/raptor_store_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, root=root)
+    fv = replay(ev, last_click)
+    for spec in (spend, cnt):
+        fv = fv.unionByName(replay(ev, spec))
+    cat.write_feature_values(fv, "features")
+
+    spine = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    out = historical_from_store(cat, "features", fs, spine)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_click",
+        F.round("spend_24h_sum", 6).alias("spend_24h_sum"),
+        F.col("events_1h_count"),
+    )
+
+
+def q_online_serve(spark, sf_dir):
+    """S10 serving as a driver query: log-structured online store —
+    even-id events materialized as the base snapshot, odd-id events
+    UPSERTED on top (newest per (fqn, keys) wins at read, deterministic
+    (ts, value)-desc tie rule), latest value per user served with the
+    1h staleness cutoff against the corpus max ts (event-time now) —
+    the Redis get + freshness path (redis/primitives.go) as a batch
+    relation."""
+    import hashlib
+    import shutil
+
+    from .online import OnlineStore
+    from .operators.tsutil import micros
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    fv = ev.select(
+        F.lit("f.last_value").alias("fqn"),
+        F.col("user_id").cast("string").alias("keys"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("event_id"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/raptor_online_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    store = OnlineStore(spark, path)
+    store.materialize(fv.filter(F.col("event_id") % 2 == 0).drop("event_id"))
+    store.upsert(fv.filter(F.col("event_id") % 2 == 1).drop("event_id"))
+
+    as_of = _t(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    latest = store.read_latest(["f.last_value"])
+    return latest.select(
+        F.col("keys").alias("user_id"),
+        F.col("ts").alias("last_ts"),
+        F.when(
+            micros(F.lit(as_of)) - micros("ts") <= HOUR_US, F.col("value")
+        ).alias("last_value"),
+    )
+
+
 def q_hetero_keys(spark, sf_dir):
     """Heterogeneous-key FeatureSet: one as-of pass per KEY FAMILY
     (featureset.tmpl.sql:104-122 joins every feature on its own encoded
@@ -577,14 +668,16 @@ def q_ann_ivf(spark, sf_dir):
 def q_ann_ivf_kmeans(spark, sf_dir):
     """IVF-Flat with TRAINED centroids: 2 deterministic Lloyd
     iterations (integer-quantized per-dim partial sums, argmax-cosine
-    assignment with lowest-cid tiebreak) over 8 lists, then the same
+    assignment with lowest-cid tiebreak) over a BOUNDED 256-row
+    training sample (first ids — the 100 TB shape: per-iteration cost
+    is O(sample), full corpus assigned ONCE), 8 lists, then the same
     probe/scan plan as ann_ivf. The DuckDB oracle replays the identical
-    iterations, so the trained centroids — not just the plan — are
-    correctness-gated."""
+    sampled iterations, so the trained centroids — not just the plan —
+    are correctness-gated."""
     from .functions.similarity import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, dim=64, k=8, iters=2)
+    cents = kmeans_fit(emb, dim=64, k=8, iters=2, sample_n=256)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     return ivf_topk(
         emb, queries, k=3, n_probe=2, centroids=cents
@@ -719,6 +812,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "backfill_wide": q_backfill_wide,
     "api_backfill": q_api_backfill,
     "kp_filtered": q_kp_filtered,
+    "store_read_pit": q_store_read_pit,
+    "online_serve": q_online_serve,
     "hetero_keys": q_hetero_keys,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -965,19 +1060,30 @@ QUALIFY rank <= 3
 
 
 def _kmeans_cents_sql(k: int = 8, iters: int = 2, dim: int = 64,
-                      quant: int = 1 << 20) -> str:
+                      quant: int = 1 << 20,
+                      sample_n: int | None = None) -> str:
     """CTE chain replaying kmeans_fit's deterministic Lloyd iterations:
     assignment by raw-cosine argmax (ties → lowest cid), per-dim mean
     via exact BIGINT sums of floor(v*quant), round(_,6), empty cluster
-    keeps its previous centroid. Final centroids CTE: cents(cid, cent)."""
+    keeps its previous centroid. ``sample_n``: iterations scan the
+    bounded first-ids training sample, mirroring
+    kmeans_fit(sample_n=...). Final centroids CTE: cents(cid, cent)."""
     cos = _COS_SQL.format(a="e.embedding", b="c.cent")
     raw = _COS_RAW.format(a="e.embedding", b="c.cent")
     # init = the k SMALLEST ids (ORDER BY + LIMIT, matching kmeans_fit
     # exactly — `WHERE vec_id < k` would diverge on non-0-based ids)
-    parts = [
+    train = "embeddings"
+    parts = []
+    if sample_n is not None:
+        train = "ktrain"
+        parts.append(
+            f"ktrain AS (\n  SELECT vec_id, embedding FROM embeddings "
+            f"ORDER BY vec_id LIMIT {sample_n})"
+        )
+    parts.append(
         f"c0 AS (\n  SELECT vec_id AS cid, embedding AS cent "
-        f"FROM embeddings ORDER BY vec_id LIMIT {k})"
-    ]
+        f"FROM {train} ORDER BY vec_id LIMIT {k})"
+    )
     for it in range(1, iters + 1):
         prev = f"c{it - 1}"
         sum_cols = ",\n    ".join(
@@ -994,7 +1100,7 @@ def _kmeans_cents_sql(k: int = 8, iters: int = 2, dim: int = 64,
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,
       row_number() OVER (PARTITION BY e.vec_id ORDER BY {raw} DESC, c.cid) AS r
-    FROM embeddings e CROSS JOIN {prev} c) WHERE r = 1),
+    FROM {train} e CROSS JOIN {prev} c) WHERE r = 1),
 m{it} AS (
   SELECT cid, count(*) AS n,
     {sum_cols}
@@ -1014,7 +1120,7 @@ def _ann_ivf_kmeans_sql() -> str:
     raw_cent = _COS_RAW.format(a="e.embedding", b="c.cent")
     raw_q = _COS_RAW.format(a="q.embedding", b="c.cent")
     return f"""
-WITH {_kmeans_cents_sql(8, 2, 64)},
+WITH {_kmeans_cents_sql(8, 2, 64, sample_n=256)},
 lists AS (
   SELECT neighbor_id, cv, cid FROM (
     SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cid,
@@ -1237,6 +1343,46 @@ FROM (
   ASOF LEFT JOIN clicks lc ON s.user_id = lc.user_id AND lc.ts <= s.ts
   ASOF LEFT JOIN ccnt c ON s.user_id = c.user_id AND c.ts <= s.ts
   ASOF LEFT JOIN mx m ON s.user_id = m.user_id AND m.ts <= s.ts)
+""",
+    # store read ≡ recompute: the SAME SQL as backfill_wide is the
+    # oracle for the materialize→store→as-of path
+    "store_read_pit": """
+WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+last_click AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+spend AS (
+  SELECT user_id, ts,
+    round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+      (PARTITION BY user_id ORDER BY epoch_us(ts)
+       RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS spend_24h_sum
+  FROM events WHERE event_type = 'purchase'),
+cnt AS (
+  SELECT user_id, ts,
+    CAST(count(value) OVER
+      (PARTITION BY user_id ORDER BY epoch_us(ts)
+       RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS DOUBLE) AS events_1h_count
+  FROM events)
+SELECT s.event_id, s.user_id, s.ts,
+  CASE WHEN lc.ts >= s.ts - INTERVAL 2 HOUR THEN lc.value END AS last_click,
+  CASE WHEN sp.ts >= s.ts - INTERVAL 24 HOUR THEN sp.spend_24h_sum END AS spend_24h_sum,
+  CASE WHEN c.ts >= s.ts - INTERVAL 1 HOUR THEN c.events_1h_count END AS events_1h_count
+FROM spine s
+ASOF LEFT JOIN last_click lc ON s.user_id = lc.user_id AND lc.ts <= s.ts
+ASOF LEFT JOIN spend sp ON s.user_id = sp.user_id AND sp.ts <= s.ts
+ASOF LEFT JOIN cnt c ON s.user_id = c.user_id AND c.ts <= s.ts
+""",
+    "online_serve": """
+WITH fv AS (
+  SELECT CAST(user_id AS VARCHAR) AS keys, ts, value
+  FROM events WHERE value IS NOT NULL),
+latest AS (
+  SELECT keys, ts, value,
+    row_number() OVER (PARTITION BY keys ORDER BY ts DESC, value DESC) AS rn
+  FROM fv),
+mx AS (SELECT max(ts) AS as_of FROM events)
+SELECT l.keys AS user_id, l.ts AS last_ts,
+  CASE WHEN epoch_us(m.as_of) - epoch_us(l.ts) <= 3600000000 THEN l.value END
+    AS last_value
+FROM latest l, mx m WHERE rn = 1
 """,
     "kp_filtered": """
 WITH spine AS (

@@ -103,9 +103,48 @@ class TestConnectedComponents:
         }
         assert got == {(i, 0) for i in range(10)}
 
-    def test_nonconvergence_raises(self, spark):
+    def test_nonconvergence_raises_without_fallback(self, spark):
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(30)], "id_a long, id_b long"
         )
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(pairs, max_iter=2)
+            connected_components(pairs, max_iter=2, fallback_star=False)
+
+    def test_high_diameter_falls_back_to_star(self, spark):
+        """Path graph of diameter 60: min-label propagation cannot
+        converge in max_iter=4 rounds — the alternating-star fallback
+        must still produce correct component minima."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)] + [(100, 101), (101, 102)],
+            "id_a long, id_b long",
+        )
+        got = {
+            (r["id"], r["cluster_rep"])
+            for r in connected_components(pairs, max_iter=4).collect()
+        }
+        want = {(i, 0) for i in range(61)} | {(i, 100) for i in (100, 101, 102)}
+        assert got == want
+
+    def test_star_matches_label_propagation(self, spark):
+        """connected_components_star ≡ min-label propagation on a mixed
+        graph (cliques + chains + isolated edge)."""
+        from raptor_spark.functions.dedup import connected_components_star
+
+        edges = (
+            [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique
+            + [(10 + i, 11 + i) for i in range(8)]               # chain
+            + [(50, 51)]                                         # edge
+            + [(60, 61), (61, 62), (60, 62)]                     # triangle
+        )
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {
+            (r["id"], r["cluster_rep"])
+            for r in connected_components_star(pairs).collect()
+        }
+        prop = {
+            (r["id"], r["cluster_rep"])
+            for r in connected_components(
+                pairs, max_iter=30, fallback_star=False
+            ).collect()
+        }
+        assert star == prop

@@ -135,3 +135,59 @@ def test_lsh_topk_recall_vs_brute_force(spark):
         for r in lsh_bucket_topk(df, queries, DIM, k=3, n_probes=3).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_auto_n_planes_sizing(spark):
+    """n_planes=None auto-sizes from corpus cardinality: a 20k-row
+    pseudo-random corpus at target_bucket=64 derives ~log2(20000/64)≈9
+    planes, and the resulting bucket-size distribution is bounded (no
+    degenerate mega-bucket)."""
+    from raptor_spark.functions.similarity import auto_n_planes, lsh_signature
+
+    n_rows, dim = 20_000, 8
+    corpus = spark.range(n_rows).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(1000))
+                    / 499.5
+                    - 1.0
+                ).cast("float")
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    ).cache()
+    n = auto_n_planes(corpus, "vec_id", target_bucket=64)
+    assert 8 <= n <= 10  # approx_count_distinct tolerance around 9
+    sizes = (
+        corpus.select(
+            lsh_signature(F.col("embedding"), dim, n).alias("bucket")
+        )
+        .groupBy("bucket")
+        .count()
+        .agg(F.max("count").alias("mx"), F.count(F.lit(1)).alias("nb"))
+        .first()
+    )
+    # pseudo-random vectors → roughly balanced buckets: the largest
+    # must stay a small multiple of the 64-row target
+    assert sizes["mx"] <= 20 * 64
+    assert sizes["nb"] >= 2 ** (n - 2)  # most buckets actually occupied
+    corpus.unpersist()
+
+
+def test_kmeans_sample_training(spark, emb):
+    """sample_n: bounded deterministic training sample. A sample
+    covering the whole corpus reproduces full-corpus training exactly;
+    a smaller sample still yields k well-formed centroids,
+    deterministically."""
+    from raptor_spark.functions.similarity import kmeans_fit
+
+    full = kmeans_fit(emb, dim=DIM, k=4, iters=1)
+    capped = kmeans_fit(emb, dim=DIM, k=4, iters=1, sample_n=10_000_000)
+    assert capped == full
+    samp = kmeans_fit(emb, dim=DIM, k=4, iters=1, sample_n=100)
+    assert len(samp) == 4 and all(len(c) == DIM for c in samp)
+    assert samp == kmeans_fit(emb, dim=DIM, k=4, iters=1, sample_n=100)
+    with pytest.raises(ValueError, match="sample_n"):
+        kmeans_fit(emb, dim=DIM, k=8, iters=1, sample_n=4)
