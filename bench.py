@@ -52,6 +52,9 @@ HEADLINE = [
     "dup_clusters",         # connected components of dup pairs
     "simhash_dedup",        # SimHash near-dup groups
     "token_freq",           # BPE-ish tokenize + corpus top-k
+    "doc_chunks",           # context-window chunking (500c/100c overlap)
+    "clean_corpus",         # composed quality/lang filter + dedup keep-rep
+    "decontaminate",        # 8-gram collision vs benchmark set (broadcast)
     "repetition",           # intra-doc n-gram repetition ratio
     "containment",          # partial-overlap window fingerprints
     "media_features",       # multimodal mapInPandas plumbing

@@ -517,6 +517,59 @@ def containment_pairs(
     )
 
 
+def ngram_collision_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    probe_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Test-set DECONTAMINATION: flag corpus documents that share at
+    least ``threshold`` of a probe (benchmark) document's distinct
+    word ``n``-grams — the standard n-gram-collision check run before
+    training to keep eval data out of the corpus.
+
+    Scale shape: the probe side is the benchmark suite (thousands of
+    docs, always broadcastable); its exploded n-gram hashes broadcast
+    to the corpus side, so the 100 TB corpus is ONE scan + map-side
+    hash join, and the only shuffle is the (doc, probe) collision
+    count — rows exist only where at least one n-gram collided.
+    n-grams join on their md5-derived 60-bit longs (engine-portable,
+    8-byte shuffle keys instead of long strings).
+
+    Returns (doc_id, probe_id, shared_ngrams, probe_ngrams,
+    contamination = shared/probe rounded engine-portably) filtered to
+    contamination >= threshold (compared on the ROUNDED value).
+    """
+    def grams(df: DataFrame, idc: str, alias: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(alias),
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+        ).select(alias, md5_long(F.col("_g")).alias("gh"))
+
+    pg = grams(probes, probe_id_col, "probe_id")
+    pn = pg.groupBy("probe_id").agg(F.count(F.lit(1)).alias("probe_ngrams"))
+    hits = (
+        grams(corpus, id_col, "doc_id")
+        .join(F.broadcast(pg), "gh")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    out = hits.join(F.broadcast(pn), "probe_id").select(
+        "doc_id",
+        "probe_id",
+        "shared_ngrams",
+        "probe_ngrams",
+        round6(
+            F.col("shared_ngrams").cast("double")
+            / F.col("probe_ngrams").cast("double")
+        ).alias("contamination"),
+    )
+    return out.filter(F.col("contamination") >= threshold)
+
+
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
     inter = F.size(F.array_intersect(sh_a, sh_b))
     union = F.size(F.array_union(sh_a, sh_b))

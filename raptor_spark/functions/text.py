@@ -173,3 +173,57 @@ def text_stats(text_col: str = "text") -> list[Column]:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     ]
+
+
+def chunk_docs(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 500,
+    overlap: int = 100,
+):
+    """Split documents into fixed-width overlapping character chunks —
+    the training-data segmentation step (context-window packing
+    upstream of tokenization). Pure JVM exprs: chunk starts come from
+    ``sequence``, slices from ``substr`` inside ``transform`` — the
+    explode is the only row fan-out, no shuffle, embarrassingly
+    parallel at any corpus size.
+
+    n_chunks = max(1, ceil((len - overlap) / step)), step =
+    chunk_chars - overlap — every char is covered, consecutive chunks
+    share ``overlap`` chars, and an empty/short doc yields exactly one
+    chunk (its whole text). Engine-portable: same IEEE ceil-of-division
+    and 1-based character (not byte) slicing in DuckDB.
+
+    Returns (id, chunk_idx, chunk, n_chunks) — one row per chunk.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+    # null text ≡ empty doc (one empty chunk) — engines disagree on
+    # greatest(1, NULL), so normalize before the arithmetic
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(t) - F.lit(overlap)) / F.lit(float(step))).cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_idx"),
+                    F.substr(
+                        t, (i * step + 1).cast("int"), F.lit(chunk_chars)
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("_c"),
+        n.alias("n_chunks"),
+    ).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk").alias("chunk"),
+        "n_chunks",
+    )

@@ -569,6 +569,70 @@ def q_repetition(spark, sf_dir):
 _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: corpus docs sharing ≥ 50% of a
+    benchmark doc's distinct word 8-grams (the pre-training
+    n-gram-collision check). Benchmark set = every 10th doc; probe
+    n-gram hashes broadcast, corpus is one scan + map-side join, one
+    (doc, probe) count shuffle."""
+    from .functions.dedup import ngram_collision_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_collision_pairs(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=8,
+        threshold=0.5,
+    )
+
+
+def q_clean_corpus(spark, sf_dir):
+    """Composed corpus-cleaning pipeline — the end-to-end shape a
+    training-data prep run executes: quality ≥ 0.5 AND ≥ 5 tokens AND
+    English (all per-row JVM exprs, evaluated in one scan) → exact
+    dedup by normalized-text fingerprint keeping the smallest doc_id,
+    with the duplicate count per kept doc. ONE shuffle total (the
+    dedup window on fp); filters run before it so dropped docs never
+    shuffle."""
+    from .functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("_lang"),
+        fingerprint("text").alias("fp"),
+    ).filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 5)
+        & (F.col("_lang") == "en")
+    )
+    w = W.partitionBy("fp")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_dups", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens", "quality", "fp", "n_dups")
+    )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking: 500-char chunks with 100-char overlap
+    per document (the LLM-training segmentation step) — sequence +
+    substr inside transform, the explode is the only fan-out, no
+    shuffle."""
+    from .functions.text import chunk_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_docs(docs).select("doc_id", "chunk_idx", "chunk", "n_chunks")
+
+
 def q_token_freq(spark, sf_dir):
     """BPE-ish regex pre-tokenization + corpus-level top-20 token
     frequencies (letters runs | digit runs | single symbols)."""
@@ -823,6 +887,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "simhash_dedup": q_simhash_dedup,
     "token_freq": q_token_freq,
+    "decontaminate": q_decontaminate,
+    "clean_corpus": q_clean_corpus,
+    "doc_chunks": q_doc_chunks,
     "repetition": q_repetition,
     "containment": q_containment,
     "media_features": q_media_features,
@@ -848,6 +915,8 @@ _W24 = "PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 86399999999 PRE
 _W6H = "PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW"
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_TOKENS = r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END"
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -1439,6 +1508,65 @@ SELECT doc_id,
   {_quality_sql()} AS quality,
   md5({_NORM}) AS fingerprint
 FROM documents
+""",
+    "decontaminate": f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS w FROM norm),
+grams AS (
+  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+  FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) >= 8
+        THEN list_distinct(list_transform(generate_series(1, len(w) - 7),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))
+        ELSE [nt] END) AS g
+    FROM toks)),
+pg AS (SELECT doc_id AS probe_id, gh FROM grams WHERE doc_id % 10 = 0),
+pn AS (SELECT probe_id, count(*) AS probe_ngrams FROM pg GROUP BY 1),
+cg AS (SELECT doc_id, gh FROM grams WHERE doc_id % 10 != 0),
+hits AS (
+  SELECT c.doc_id, p.probe_id, count(*) AS shared_ngrams
+  FROM cg c JOIN pg p USING (gh) GROUP BY 1, 2)
+SELECT h.doc_id, h.probe_id, h.shared_ngrams, n.probe_ngrams,
+  floor((CAST(h.shared_ngrams AS DOUBLE) / CAST(n.probe_ngrams AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS contamination
+FROM hits h JOIN pn n USING (probe_id)
+WHERE floor((CAST(h.shared_ngrams AS DOUBLE) / CAST(n.probe_ngrams AS DOUBLE)) * 1000000 + 0.5) / 1000000 >= 0.5
+""",
+    "clean_corpus": f"""
+WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents),
+s AS (
+  SELECT doc_id,
+    {_TOKENS} AS n_tokens,
+    {_quality_sql()} AS quality,
+    md5({_NORM}) AS fp,
+    {_lang_hits_sql('en')} AS h_en,
+    {_lang_hits_sql('de')} AS h_de,
+    {_lang_hits_sql('fr')} AS h_fr,
+    {_lang_hits_sql('es')} AS h_es
+  FROM p),
+f AS (
+  SELECT doc_id, n_tokens, quality, fp
+  FROM s
+  WHERE quality >= 0.5 AND n_tokens >= 5
+    AND h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es)
+SELECT doc_id, n_tokens, quality, fp,
+  count(*) OVER (PARTITION BY fp) AS n_dups
+FROM f
+QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+""",
+    "doc_chunks": """
+WITH n AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+    greatest(1, CAST(ceil((length(coalesce(text, '')) - 100) / 400.0) AS INT))
+      AS n_chunks
+  FROM documents),
+ex AS (
+  SELECT doc_id, text, n_chunks,
+    unnest(generate_series(1, n_chunks)) AS i
+  FROM n)
+SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+  substr(text, CAST((i - 1) * 400 + 1 AS INT), 500) AS chunk, n_chunks
+FROM ex
 """,
     "lang_id": f"""
 WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),

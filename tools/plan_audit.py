@@ -75,15 +75,48 @@ NOTES = {
     ),
     "kp_filtered": (
         "Filtered keep_previous FUSED: lag IGNORE NULLS walks update "
-        "rows inside the same single window pass (one exchange, no "
-        "Union) — versions count updates, the age guard anchors at the "
-        "latest update's ts."
+        "rows with a per-feature updates-first tie order (one exchange, "
+        "no Union; the tie-ordered lags add one Window pass below the "
+        "RANGE fill) — versions count updates incl. same-ts ones, the "
+        "age guard anchors at the latest update's ts."
+    ),
+    "store_read_pit": (
+        "Production read: per-fqn partition-PRUNED scans of the "
+        "materialized store (fqn hive dirs → PartitionFilters), "
+        "union-merged in ONE as-of pass on the encoded key. The write "
+        "half (replay + partitionBy(fqn)) is the same plan the "
+        "backfill sink uses; at 10^12 rows reads touch only the "
+        "requested features' files."
+    ),
+    "online_serve": (
+        "Log-structured online read: fqn partition prune + ONE hash "
+        "shuffle for the newest-per-(fqn, keys) row_number — "
+        "deterministic (ts, value)-desc tie rule; the staleness cutoff "
+        "is a scalar comparison against the broadcast as_of."
     ),
     "repetition": (
         "CPU-heavy per-row shingling: explicit repartition(parallelism) "
         "spreads rows before the transform (a single parquet split "
         "would otherwise serialize the whole corpus through one task; "
         "AQE coalesces small-bytes exchanges, so the N is explicit)."
+    ),
+    "doc_chunks": (
+        "Context-window chunking: sequence + substr inside transform, "
+        "explode is the only fan-out — ZERO shuffles, embarrassingly "
+        "parallel at any corpus size."
+    ),
+    "decontaminate": (
+        "Probe (benchmark) n-gram hashes BROADCAST to the corpus scan "
+        "— a 100 TB corpus is one scan + map-side hash join; the only "
+        "shuffle is the (doc, probe) collision count over rows that "
+        "actually collided. 60-bit md5 longs keep the broadcast and "
+        "shuffle keys at 8 bytes."
+    ),
+    "clean_corpus": (
+        "Composed cleaning pipeline: quality/token/lang filters are "
+        "per-row JVM exprs evaluated in the scan stage, so dropped "
+        "docs never reach the ONE shuffle (the fingerprint dedup "
+        "window). rep + dup-count share a single window pass."
     ),
     "pit_asof_join": (
         "Union-merge as-of: spine and feature rows are tagged, "
