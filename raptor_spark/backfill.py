@@ -168,18 +168,33 @@ def backfill(
         if shard_col
         else key_hash_expr
     )
-    shard_expr_id = "key-hash"
+    shard_expr_id = f"col:{shard_col}" if shard_col else "key-hash"
     if shard_col:
         # a shard_col run may only share checkpoint identity with
         # key-hash sharding when the ASSIGNMENTS agree (e.g. catalog
         # pbucket with n_buckets % n_shards == 0) — otherwise a resume
         # would skip shards whose key membership differs (ADVICE r2).
-        # Verified on the data: one column-pruned aggregate.
-        mismatch = source.select(
-            F.max((shard_expr != key_hash_expr).cast("int")).alias("m")
-        ).first()["m"]
-        if mismatch:
-            shard_expr_id = f"col:{shard_col}"
+        # Verified on the data with one column-pruned aggregate;
+        # eqNullSafe so a NULL shard assignment counts as MISMATCH
+        # (plain != yields NULL, which max() would ignore — a null-
+        # bearing column would silently share the key-hash identity).
+        # Skipped when this run's own identity already covers every
+        # shard (a fully-committed plain resume stays scan-free).
+        own_done = (
+            committed_shards(
+                out_dir, plan_hash(fs, n_shards, source_id, shard_expr_id)
+            )
+            if resume
+            else set()
+        )
+        if len(own_done) < n_shards:
+            mismatch = source.select(
+                F.max(
+                    (~shard_expr.eqNullSafe(key_hash_expr)).cast("int")
+                ).alias("m")
+            ).first()["m"]
+            if not mismatch:
+                shard_expr_id = "key-hash"
     phash = plan_hash(fs, n_shards, source_id, shard_expr_id)
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
 
@@ -214,6 +229,16 @@ def backfill(
             .agg(*stat_aggs)
             .collect()
         }
+        if None in stats:
+            # rows whose shard assignment is NULL (null shard_col /
+            # null key) match NO shard filter — they would silently
+            # vanish from the output
+            raise ValueError(
+                f"{stats[None]['n']} row(s) have a NULL shard assignment "
+                f"({'column ' + shard_col if shard_col else 'key ' + key}) "
+                "— they would be dropped by every shard filter; clean or "
+                "re-key the source first"
+            )
 
     for k in range(n_shards):
         src_k = source.filter(shard_expr == k)

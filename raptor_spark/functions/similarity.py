@@ -263,56 +263,58 @@ def kmeans_fit(
     if len(init) < k:
         raise ValueError(f"kmeans_fit: need >= {k} rows, got {len(init)}")
     cents: list[list[float]] = [list(map(float, r["_c"])) for r in init]
-    for _ in range(iters):
-        # stage the row norm ONCE (own select so it is evaluated once,
-        # not re-inlined per centroid) and fold each centroid's norm to
-        # a Python constant — same sqrt(Σx²) sequential sum as the SQL
-        # oracle, so cosine bits are unchanged, but the assignment expr
-        # shrinks ~2x (codegen) and the norm fold runs 1x per row, not k
-        staged = train.select(v.alias("_v"), norm(v).alias("_vn"))
-        sv, svn = F.col("_v"), F.col("_vn")
+    try:
+        for _ in range(iters):
+            # stage the row norm ONCE (own select so it is evaluated once,
+            # not re-inlined per centroid) and fold each centroid's norm to
+            # a Python constant — same sqrt(Σx²) sequential sum as the SQL
+            # oracle, so cosine bits are unchanged, but the assignment expr
+            # shrinks ~2x (codegen) and the norm fold runs 1x per row, not k
+            staged = train.select(v.alias("_v"), norm(v).alias("_vn"))
+            sv, svn = F.col("_v"), F.col("_vn")
 
-        def _cos_lit(c: list[float]) -> Column:
-            cn = math.sqrt(sum(x * x for x in c))
-            d = svn * F.lit(cn)
-            num = dot(sv, F.array(*[F.lit(float(x)) for x in c]))
-            return F.when(d > 0, num / d).otherwise(F.lit(0.0))
+            def _cos_lit(c: list[float]) -> Column:
+                cn = math.sqrt(sum(x * x for x in c))
+                d = svn * F.lit(cn)
+                num = dot(sv, F.array(*[F.lit(float(x)) for x in c]))
+                return F.when(d > 0, num / d).otherwise(F.lit(0.0))
 
-        structs = [
-            F.struct(_cos_lit(c).alias("d"), F.lit(-ci).alias("nc"))
-            for ci, c in enumerate(cents)
-        ]
-        assigned = staged.select(
-            "_v", (-F.array_max(F.array(*structs))["nc"]).alias("cid")
-        )
-        # per-dim sums via posexplode → ONE narrow (cid, pos) aggregate
-        # instead of `dim` wide aggregate columns: identical integer
-        # math, but the generated plan is tiny (a dim-wide aggregate
-        # pays seconds of codegen PER ITERATION since the centroid
-        # literals change each round)
-        rows = (
-            assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.floor(F.col("x").cast("double") * quant)).alias("s"),
+            structs = [
+                F.struct(_cos_lit(c).alias("d"), F.lit(-ci).alias("nc"))
+                for ci, c in enumerate(cents)
+            ]
+            assigned = staged.select(
+                "_v", (-F.array_max(F.array(*structs))["nc"]).alias("cid")
             )
-            .select(
-                "cid",
-                "pos",
-                round6(F.col("s") / F.lit(float(quant)) / F.col("n")).alias(
-                    "c"
-                ),
+            # per-dim sums via posexplode → ONE narrow (cid, pos) aggregate
+            # instead of `dim` wide aggregate columns: identical integer
+            # math, but the generated plan is tiny (a dim-wide aggregate
+            # pays seconds of codegen PER ITERATION since the centroid
+            # literals change each round)
+            rows = (
+                assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.floor(F.col("x").cast("double") * quant)).alias("s"),
+                )
+                .select(
+                    "cid",
+                    "pos",
+                    round6(F.col("s") / F.lit(float(quant)) / F.col("n")).alias(
+                        "c"
+                    ),
+                )
+                .collect()
             )
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
-        for cid, comps in by_cid.items():
-            cents[cid] = [comps[j] for j in range(dim)]
-    if sample_n is not None:
-        train.unpersist()
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+            for cid, comps in by_cid.items():
+                cents[cid] = [comps[j] for j in range(dim)]
+    finally:
+        if sample_n is not None:
+            train.unpersist()
     return cents
 
 

@@ -42,26 +42,47 @@ class OnlineStore:
         self.path = path
 
     # -- write ---------------------------------------------------------
-    def materialize(self, fv: DataFrame, mode: str = "overwrite") -> None:
+    def materialize(
+        self, fv: DataFrame, mode: str = "overwrite", gen: int = 0
+    ) -> None:
         """Collapse to latest per (fqn, keys) and write, partitioned by
-        fqn. fv: the canonical long relation (fqn, keys, ts, value)."""
-        self._latest(fv).write.mode(mode).partitionBy("fqn").parquet(self.path)
+        fqn. fv: the canonical long relation (fqn, keys, ts, value).
+        ``gen``: write generation (see ``upsert``)."""
+        self._latest(self._with_gen(fv, gen)).write.mode(mode).partitionBy(
+            "fqn"
+        ).parquet(self.path)
 
-    def upsert(self, fv: DataFrame) -> None:
-        """Log-structured append — newest row wins at read time."""
-        fv.write.mode("append").partitionBy("fqn").parquet(self.path)
+    def upsert(self, fv: DataFrame, gen: int = 1) -> None:
+        """Log-structured append — newest row wins at read time.
+        ``gen`` is the WRITE GENERATION: two rows at the same event ts
+        resolve to the higher generation (the Redis SET last-write-wins
+        analog — without it a same-ts correction could lose the tie).
+        Callers doing repeated upserts should pass increasing gens;
+        within one generation same-ts ties resolve value-desc
+        (deterministic)."""
+        self._with_gen(fv, gen).write.mode("append").partitionBy(
+            "fqn"
+        ).parquet(self.path)
 
     def upsert_stream(self, fv_stream: DataFrame, checkpoint: str):
         """Streaming upsert: every micro-batch appends its rows (the
-        streaming analog of the runtime's per-event Redis SET)."""
+        streaming analog of the runtime's per-event Redis SET); the
+        micro-batch id orders generations, so a later batch's same-ts
+        write wins."""
         return (
             fv_stream.writeStream.foreachBatch(
-                lambda batch, _id: self.upsert(batch)
+                lambda batch, bid: self.upsert(batch, gen=bid + 1)
             )
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
         )
+
+    @staticmethod
+    def _with_gen(fv: DataFrame, gen: int) -> DataFrame:
+        if "_gen" in fv.columns:
+            return fv
+        return fv.withColumn("_gen", F.lit(int(gen)))
 
     def compact(self) -> None:
         """Rewrite the log to one row per (fqn, keys) — the cleanup
@@ -83,11 +104,13 @@ class OnlineStore:
 
     # -- read ----------------------------------------------------------
     def _latest(self, fv: DataFrame) -> DataFrame:
-        # deterministic tie rule: newest ts, then greatest value — two
-        # writes at the SAME instant must resolve identically on every
+        # deterministic tie rule: newest ts, then highest write
+        # generation (last-write-wins for same-ts corrections), then
+        # greatest value — ties must resolve identically on every
         # run/engine (row_number over ts alone is physical-order luck)
+        gen = F.col("_gen") if "_gen" in fv.columns else F.lit(0)
         w = W.partitionBy("fqn", "keys").orderBy(
-            F.col("ts").desc(), F.col("value").desc()
+            F.col("ts").desc(), gen.desc(), F.col("value").desc()
         )
         return (
             fv.withColumn("_rn", F.row_number().over(w))
@@ -99,7 +122,7 @@ class OnlineStore:
         df = self.spark.read.parquet(self.path)
         if fqns:
             df = df.filter(F.col("fqn").isin(list(fqns)))  # partition prune
-        return self._latest(df)
+        return self._latest(df).drop("_gen")
 
     def get(
         self,

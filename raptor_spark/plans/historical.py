@@ -41,14 +41,26 @@ from .replay import replay_wide
 def _lag_feature_values(
     fv: DataFrame, spec: FeatureSpec, value_cols: Sequence[str]
 ) -> tuple[DataFrame, list[str]]:
-    """Materialize keep_previous versions as extra columns on the
-    feature-values stream (lag over the value history per key)."""
+    """Materialize keep_previous versions on the feature-values stream
+    (lag over the value history per key) — PACKED into ONE struct
+    column ``_kp_<name>`` per feature rather than separate columns.
+
+    The pack is what keeps versions PIT-consistent through the as-of
+    merge: ``asof_join`` forward-fills each column independently with
+    ``last(ignorenulls)``, so a separate prev column whose age guard
+    nulled it AT the latest update would be "filled past" — the join
+    would resurrect an older update's (younger-at-the-time) version,
+    e.g. prev1 = the value from TWO updates back, disagreeing with the
+    fused plan and the reference's latest-update-anchored versioning
+    (caught by review r3, runtime-confirmed). A struct is non-null at
+    every update row even when its FIELDS are guard-nulled, so the
+    fill always lands on the same winning row as the base value.
+    Unpacked after the join by ``_unpack_kp``."""
     kp = spec.keep_previous
     if kp is None:
         return fv, list(value_cols)
     w = W.partitionBy(*spec.keys).orderBy(F.col("ts").asc())
-    out = fv
-    all_cols = list(value_cols)
+    fields = []
     for n in range(1, kp.versions + 1):
         lag_ts = F.lag(micros("ts"), n).over(w)
         guard = (
@@ -57,10 +69,46 @@ def _lag_feature_values(
             else F.lit(True)
         )
         for c in value_cols:
-            lagged = F.when(guard, F.lag(F.col(c), n).over(w))
-            out = out.withColumn(f"{c}_prev{n}", lagged)
-            all_cols.append(f"{c}_prev{n}")
-    return out, all_cols
+            fields.append(
+                F.when(guard, F.lag(F.col(c), n).over(w)).alias(f"{c}_prev{n}")
+            )
+    pack = f"_kp_{spec.name}"
+    out = fv.select("*", F.struct(*fields).alias(pack))
+    return out, list(value_cols) + [pack]
+
+
+def _unpack_kp(df: DataFrame) -> DataFrame:
+    """Expand ``_kp_*`` struct columns (see ``_lag_feature_values``)
+    into their prev-version fields, in place."""
+    if not any(c.startswith("_kp_") for c in df.columns):
+        return df
+    cols = []
+    for c in df.columns:
+        if c.startswith("_kp_"):
+            for fld in df.schema[c].dataType.fieldNames():
+                cols.append(F.col(f"`{c}`.`{fld}`").alias(fld))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def _kp_pad_us(spec: FeatureSpec) -> int:
+    """Extra history (µs) a since-bounded scan must keep so the
+    keep_previous version chain at the range start is complete.
+    Unbounded version lookback (over=0) cannot be finitely padded —
+    raising beats silently serving null/short version chains near the
+    boundary."""
+    kp = spec.keep_previous
+    if kp is None:
+        return 0
+    if kp.over_us <= 0:
+        raise ValueError(
+            f"feature '{spec.name}': keep_previous with over=0 (unbounded "
+            "version lookback) cannot be combined with a since= time-range "
+            "scan — any finite padding could drop the previous versions. "
+            "Use over>0 or since=None."
+        )
+    return kp.versions * kp.over_us
 
 
 def _expr_total(spec: FeatureSpec) -> bool:
@@ -126,15 +174,7 @@ def get_historical_fused(
     df = source
     if since is not None:
         pad_us = max(
-            (
-                f.effective_staleness_us
-                + (
-                    f.keep_previous.versions * f.keep_previous.over_us
-                    if f.keep_previous
-                    else 0
-                )
-            )
-            for f in fs.features
+            f.effective_staleness_us + _kp_pad_us(f) for f in fs.features
         )
         df = df.filter(
             F.col(ts_col) >= F.lit(since - dt.timedelta(microseconds=pad_us))
@@ -345,11 +385,7 @@ def historical_from_store(
             fqn_cols = [(spec.fqn, spec.name)]
         df = catalog.read_feature_values(table, [f for f, _ in fqn_cols], vt)
         if since is not None:
-            pad_us = spec.effective_staleness_us
-            if spec.keep_previous is not None and spec.keep_previous.over_us > 0:
-                pad_us += (
-                    spec.keep_previous.versions * spec.keep_previous.over_us
-                )
+            pad_us = spec.effective_staleness_us + _kp_pad_us(spec)
             lo = since - dt.timedelta(microseconds=pad_us)
             df = df.filter(F.col(ts_col) >= F.lit(lo))
         if until is not None:
@@ -362,18 +398,21 @@ def historical_from_store(
                 for f, c in fqn_cols
             ],
         )
-        prev_cols: list[str] = []
+        pack_cols: list[str] = []
         if spec.keep_previous is not None:
             # keep_previous from the STORE: the per-fqn rows ARE the
             # update stream, so version n = n-th previous non-null of
             # the column (rows for sibling fqns of one feature
             # interleave → IGNORE NULLS; ties sort updates-first like
-            # the fused plan). Emitted non-null only at the column's
-            # own update rows so the as-of forward-fill carries
-            # (value, prev*) as ONE consistent PIT version.
+            # the fused plan). Versions are PACKED into a struct per
+            # column, non-null exactly at the column's own update rows,
+            # so the as-of forward-fill carries (value, prev*) as ONE
+            # consistent PIT version — a guard-expired prev stays
+            # expired instead of being filled past from an older update
+            # (see _lag_feature_values).
             kp = spec.keep_previous
             tsu_c = micros(ts_col)
-            prev_exprs = []
+            pack_exprs = []
             for _, c in fqn_cols:
                 tie_w = W.partitionBy("_keys").orderBy(
                     tsu_c, F.col(c).isNull()
@@ -382,6 +421,7 @@ def historical_from_store(
                     f"CASE WHEN `{c}` IS NOT NULL THEN "
                     f"unix_micros(cast({ts_col} as timestamp)) END"
                 )
+                fields = []
                 for n in range(1, kp.versions + 1):
                     lagged = F.expr(f"lag(`{c}`, {n}) ignore nulls").over(
                         tie_w
@@ -393,13 +433,14 @@ def historical_from_store(
                         lagged = F.when(
                             lag_ts >= tsu_c - F.lit(n * kp.over_us), lagged
                         )
-                    prev_exprs.append(
-                        F.when(F.col(c).isNotNull(), lagged).alias(
-                            f"{c}_prev{n}"
-                        )
+                    fields.append(lagged.alias(f"{c}_prev{n}"))
+                pack_exprs.append(
+                    F.when(F.col(c).isNotNull(), F.struct(*fields)).alias(
+                        f"_kp_{c}"
                     )
-                    prev_cols.append(f"{c}_prev{n}")
-            fv = fv.select("*", *prev_exprs)
+                )
+                pack_cols.append(f"_kp_{c}")
+            fv = fv.select("*", *pack_exprs)
         missing = [k for k in spec.keys if k not in spine.columns]
         if missing:
             raise ValueError(
@@ -412,8 +453,8 @@ def historical_from_store(
         for _, c in fqn_cols:
             staleness[c] = st
             cols.append(c)
-        for c in prev_cols:
-            # prev columns carry their own age guard (no W4 cutoff)
+        for c in pack_cols:
+            # prev versions carry their own age guard (no W4 cutoff)
             staleness[c] = 0
             cols.append(c)
 
@@ -423,11 +464,13 @@ def historical_from_store(
         for f in frames[1:]:
             merged = merged.unionByName(f, allowMissingColumns=True)
         tagged = out.withColumn("_keys", encode_keys(out, fam_keys))
-        out = asof_join(
-            tagged, merged, keys=["_keys"], ts_col=ts_col,
-            value_cols=cols,
-            staleness_us={c: staleness[c] for c in cols},
-        ).drop("_keys")
+        out = _unpack_kp(
+            asof_join(
+                tagged, merged, keys=["_keys"], ts_col=ts_col,
+                value_cols=cols,
+                staleness_us={c: staleness[c] for c in cols},
+            ).drop("_keys")
+        )
 
     derived = fs.derived_topo()
     if derived:
@@ -539,9 +582,7 @@ def get_historical(
         for spec, cols in members:
             f_src = (sources or {}).get(spec.name, source)
             if since is not None:
-                pad_us = spec.effective_staleness_us
-                if spec.keep_previous is not None and spec.keep_previous.over_us > 0:
-                    pad_us += spec.keep_previous.versions * spec.keep_previous.over_us
+                pad_us = spec.effective_staleness_us + _kp_pad_us(spec)
                 lo = since - dt.timedelta(microseconds=pad_us)
                 f_src = f_src.filter(F.col(spec.timestamp_col) >= F.lit(lo))
             if until is not None:
@@ -549,14 +590,26 @@ def get_historical(
             fv = replay_wide(f_src, spec, mode=mode)
             base_cols = [c for c in fv.columns if c not in (*fam_keys, ts_col)]
             fv, all_cols = _lag_feature_values(fv, spec, base_cols)
-            fv = fv.select(*fam_keys, ts_col, *[c for c in all_cols if c in cols])
+            fv = fv.select(
+                *fam_keys,
+                ts_col,
+                *[c for c in all_cols if c in cols or c.startswith("_kp_")],
+            )
             fv_frames.append(fv)
             st = spec.effective_staleness_us
             for c in cols:
-                # keep_previous columns carry their own age guard; the
-                # staleness cutoff applies to the base value (W4).
-                staleness[c] = 0 if "_prev" in c else st
-            value_cols.extend(c for c in cols if c in fv.columns)
+                # prev versions ride the _kp_ struct (their own age
+                # guard, evaluated at the update row); the staleness
+                # cutoff applies to the base value (W4).
+                if "_prev" in c:
+                    continue
+                staleness[c] = st
+                if c in fv.columns:
+                    value_cols.append(c)
+            pack = f"_kp_{spec.name}"
+            if pack in fv.columns:
+                staleness[pack] = 0
+                value_cols.append(pack)
         merged = fv_frames[0]
         for f in fv_frames[1:]:
             merged = merged.unionByName(f, allowMissingColumns=True)
@@ -567,9 +620,11 @@ def get_historical(
     primary = families.pop(tuple(keys), None)
     if primary is not None:
         merged, value_cols, staleness = _family_feature_values(primary, tuple(keys))
-        out = asof_join(
-            out, merged, keys=keys, ts_col=ts_col,
-            value_cols=value_cols, staleness_us=staleness,
+        out = _unpack_kp(
+            asof_join(
+                out, merged, keys=keys, ts_col=ts_col,
+                value_cols=value_cols, staleness_us=staleness,
+            )
         )
 
     # each foreign family: as-of against the DISTINCT (family-keys, ts)
@@ -587,9 +642,11 @@ def get_historical(
             )
         sub_spine = out.select(*fam_keys, ts_col).distinct()
         merged, value_cols, staleness = _family_feature_values(members, fam_keys)
-        fam_out = asof_join(
-            sub_spine, merged, keys=list(fam_keys), ts_col=ts_col,
-            value_cols=value_cols, staleness_us=staleness,
+        fam_out = _unpack_kp(
+            asof_join(
+                sub_spine, merged, keys=list(fam_keys), ts_col=ts_col,
+                value_cols=value_cols, staleness_us=staleness,
+            )
         )
         out = out.join(fam_out, on=[*fam_keys, ts_col], how="left")
 

@@ -411,8 +411,9 @@ def q_store_read_pit(spark, sf_dir):
 def q_online_serve(spark, sf_dir):
     """S10 serving as a driver query: log-structured online store —
     even-id events materialized as the base snapshot, odd-id events
-    UPSERTED on top (newest per (fqn, keys) wins at read, deterministic
-    (ts, value)-desc tie rule), latest value per user served with the
+    UPSERTED on top (newest per (fqn, keys) wins at read; same-ts ties
+    resolve by write GENERATION — the upsert batch wins — then value),
+    latest value per user served with the
     1h staleness cutoff against the corpus max ts (event-time now) —
     the Redis get + freshness path (redis/primitives.go) as a batch
     relation."""
@@ -434,8 +435,12 @@ def q_online_serve(spark, sf_dir):
     path = f"/tmp/raptor_online_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     store = OnlineStore(spark, path)
-    store.materialize(fv.filter(F.col("event_id") % 2 == 0).drop("event_id"))
-    store.upsert(fv.filter(F.col("event_id") % 2 == 1).drop("event_id"))
+    store.materialize(
+        fv.filter(F.col("event_id") % 2 == 0).drop("event_id"), gen=0
+    )
+    store.upsert(
+        fv.filter(F.col("event_id") % 2 == 1).drop("event_id"), gen=1
+    )
 
     as_of = _t(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
     latest = store.read_latest(["f.last_value"])
@@ -1441,11 +1446,13 @@ ASOF LEFT JOIN cnt c ON s.user_id = c.user_id AND c.ts <= s.ts
 """,
     "online_serve": """
 WITH fv AS (
-  SELECT CAST(user_id AS VARCHAR) AS keys, ts, value
+  SELECT CAST(user_id AS VARCHAR) AS keys, ts, value,
+    CAST(event_id % 2 AS INT) AS gen
   FROM events WHERE value IS NOT NULL),
 latest AS (
   SELECT keys, ts, value,
-    row_number() OVER (PARTITION BY keys ORDER BY ts DESC, value DESC) AS rn
+    row_number() OVER (PARTITION BY keys
+      ORDER BY ts DESC, gen DESC, value DESC) AS rn
   FROM fv),
 mx AS (SELECT max(ts) AS as_of FROM events)
 SELECT l.keys AS user_id, l.ts AS last_ts,

@@ -150,3 +150,32 @@ def test_backfill_plan_change_invalidates(spark, src, tmp_path_factory):
     # different source_id → different plan hash → full recompute
     res = backfill(spark, src, fs, out, n_shards=2, source_id="t2")
     assert res.shards_skipped == 0 and res.shards_run == 2
+
+
+def test_backfill_null_shard_col_raises(spark, tmp_path_factory):
+    """Rows with a NULL shard assignment (null shard_col value) match
+    NO shard filter and would silently vanish — backfill must refuse.
+    (A null KEY is fine: xxhash64(NULL) hashes the null deterministically
+    and the row lands in a real shard.) Review r3."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hi", None, dt.datetime(2024, 1, 1)),
+            ("c2", 0, "user", "lost", None, dt.datetime(2024, 1, 1)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).withColumn(
+        "pb",
+        F.when(F.col("conv_id") == "c1", F.lit(0)).otherwise(
+            F.lit(None).cast("long")
+        ),
+    )
+    out = str(tmp_path_factory.mktemp("bf_null"))
+    with pytest.raises(ValueError, match="NULL shard assignment"):
+        backfill(spark, src, transcript_feature_set(), out, n_shards=2,
+                 shard_col="pb", source_id="t")

@@ -67,6 +67,61 @@ def test_store_read_keep_previous_equals_recompute(spark, tmp_path):
     assert _rows(from_store) == _rows(recomputed)
 
 
+def test_kp_guard_expiry_not_resurrected(spark, tmp_path):
+    """An age-guard-EXPIRED prev version must stay None through the
+    as-of merge: updates 1.0@00:00, 2.0@00:30, 3.0@03:00 with
+    keep_previous=(1, '1h') — at a spine row @03:30 the latest update
+    (3.0) has prev1 expired (2.0 is 2.5h older). A per-column
+    ignorenulls fill used to reach PAST that null to the 00:30 row and
+    serve ITS prev1 (1.0 — two versions back); the _kp_ struct pack
+    keeps versions pinned to the winning update row (review r3,
+    runtime-confirmed). Same contract for the store read."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = spark.createDataFrame(
+        [
+            ("u1", t0, 1.0),
+            ("u1", t0 + dt.timedelta(minutes=30), 2.0),
+            ("u1", t0 + dt.timedelta(hours=3), 3.0),
+        ],
+        "user string, ts timestamp, value double",
+    )
+    spec = feature("val", "user", "value", staleness="12h",
+                   keep_previous=(1, "1h"))
+    fs = FeatureSetSpec(features=[spec], key_feature="val")
+    spine = spark.createDataFrame(
+        [("u1", t0 + dt.timedelta(hours=3, minutes=30))],
+        "user string, ts timestamp",
+    )
+    got = get_historical(src, fs, spine=spine).collect()
+    assert len(got) == 1
+    assert got[0]["val"] == 3.0
+    assert got[0]["val_prev1"] is None  # expired, NOT resurrected 1.0
+
+    cat = Catalog(spark, root=str(tmp_path))
+    cat.write_feature_values(replay(src, spec), "features")
+    got_store = historical_from_store(cat, "features", fs, spine).collect()
+    assert len(got_store) == 1
+    assert got_store[0]["val"] == 3.0
+    assert got_store[0]["val_prev1"] is None
+
+
+def test_unbounded_kp_with_since_raises(spark, tmp_path):
+    """keep_previous over=0 (unbounded lookback) + since= cannot be
+    finitely padded — must raise, not silently truncate the chain."""
+    import datetime as dt
+
+    import pytest
+
+    src = transcripts(spark, 3)
+    spec = feature("turn_len", "conv_id", "cast(length(text) as double)",
+                   keep_previous=(1, "0"))
+    fs = FeatureSetSpec(features=[spec], key_feature="turn_len")
+    with pytest.raises(ValueError, match="unbounded"):
+        get_historical(src, fs, since=dt.datetime(2023, 11, 15)).collect()
+
+
 def test_store_read_heterogeneous_families(spark, tmp_path):
     src = transcripts(spark, 8).cache()
     turn_len = feature(

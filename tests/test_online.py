@@ -72,6 +72,26 @@ def test_upsert_wins_and_compact(spark, fv, tmp_path):
     assert store.get(["default.turn_len"], k)["default.turn_len"] == 999.0
 
 
+def test_upsert_same_ts_correction_wins(spark, tmp_path):
+    """Last-write-wins at the SAME event ts: a later-generation upsert
+    with a SMALLER value must beat the snapshot row (review r3 — a
+    (ts, value)-desc tie rule served the stale 5.0 forever and compact
+    discarded the correction)."""
+    t = dt.datetime(2025, 6, 1, 12, 0, 0)
+    store = OnlineStore(spark, str(tmp_path / "online"))
+    base = spark.createDataFrame(
+        [("f.x", "k1", t, 5.0)], "fqn string, keys string, ts timestamp, value double"
+    )
+    fix = spark.createDataFrame(
+        [("f.x", "k1", t, 2.0)], "fqn string, keys string, ts timestamp, value double"
+    )
+    store.materialize(base, gen=0)
+    store.upsert(fix, gen=1)
+    assert store.get(["f.x"], "k1")["f.x"] == 2.0
+    store.compact()
+    assert store.get(["f.x"], "k1")["f.x"] == 2.0
+
+
 def test_streaming_upsert(spark, fv, tmp_path):
     store = OnlineStore(spark, str(tmp_path / "online"))
     store.materialize(fv.filter(F.col("value") >= 0))

@@ -42,7 +42,10 @@ def main() -> None:
     sys.modules["raptor_spark.plans.hist_b"] = mod_b
     spec.loader.exec_module(mod_b)
 
-    cores = int(args.master[args.master.find("[") + 1 : args.master.find("]")])
+    import re
+
+    m = re.search(r"\[(\d+)\]", args.master)
+    cores = int(m.group(1)) if m else (os.cpu_count() or 8)
     spark = get_spark(app="ab_fused", master=args.master,
                       shuffle_partitions=4 * cores)
     try:

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Documents-pipeline scale-up evidence: run the corpus operators on a
+40× replicated sf0.1 documents table (200k docs, distinct ids, 64
+partitions) and report wall + throughput vs the 5k-doc bench numbers.
+These operators have no reference baseline (they extend the reference);
+rising throughput at 40× the data is the scale evidence — fixed
+overhead (codegen, task launch) dominates the tiny bench inputs.
+
+    python tools/docs_scale_bench.py [--mult 40] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+OUT = "/tmp/docs_scale_corpus"
+
+
+def build(spark, mult: int):
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(f"{OUT}_{mult}"):
+        docs = spark.read.parquet(SRC)
+        big = (
+            docs.crossJoin(spark.range(mult).select(F.col("id").alias("_rep")))
+            .select(
+                (F.col("doc_id") * mult + F.col("_rep")).alias("doc_id"),
+                "text",
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            )
+            .repartition(64)
+        )
+        big.write.mode("overwrite").parquet(f"{OUT}_{mult}")
+    return spark.read.parquet(f"{OUT}_{mult}")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--mult", type=int, default=40)
+    p.add_argument("--reps", type=int, default=2)
+    args = p.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from raptor_spark.session import get_spark
+    from raptor_spark.functions.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_collision_pairs,
+    )
+    from raptor_spark.functions.text import (
+        chunk_docs,
+        fingerprint,
+        lang_id,
+        quality_score,
+        repetition_stats,
+        token_count,
+    )
+    from pyspark.sql import Window as W
+
+    spark = get_spark(app="docs_scale")
+    try:
+        df = build(spark, args.mult).cache()
+        n = df.count()
+
+        def clean_corpus(d):
+            scored = d.select(
+                "doc_id",
+                token_count("text").alias("n_tokens"),
+                quality_score("text").alias("quality"),
+                lang_id("text").alias("_lang"),
+                fingerprint("text").alias("fp"),
+            ).filter(
+                (F.col("quality") >= 0.5)
+                & (F.col("n_tokens") >= 5)
+                & (F.col("_lang") == "en")
+            )
+            w = W.partitionBy("fp")
+            return (
+                scored.withColumn("_rn", F.row_number().over(w.orderBy("doc_id")))
+                .withColumn("n_dups", F.count(F.lit(1)).over(w))
+                .filter(F.col("_rn") == 1)
+            )
+
+        def repetition(d):
+            rep, top = repetition_stats("text")
+            return d.repartition(64).select("doc_id", rep.alias("r"), top.alias("t"))
+
+        OPS = {
+            "exact_dedup": lambda d: exact_dedup(d, "doc_id"),
+            "minhash_lsh": lambda d: minhash_lsh_pairs(d, "doc_id"),
+            "repetition": repetition,
+            "doc_chunks": lambda d: chunk_docs(d),
+            "clean_corpus": clean_corpus,
+            "decontaminate": lambda d: ngram_collision_pairs(
+                d.filter(F.col("doc_id") % 1000 != 0),
+                d.filter(F.col("doc_id") % 1000 == 0),
+                n=8,
+                threshold=0.5,
+            ),
+        }
+
+        def force(out):
+            return out.agg(
+                F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in out.columns])).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]["n"]
+
+        results = {}
+        for name, fn in OPS.items():
+            best, rows = None, 0
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                rows = force(fn(df))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results[name] = {
+                "wall_s": round(best, 2),
+                "out_rows": rows,
+                "docs_per_s": round(n / best, 0),
+            }
+        print(json.dumps({"corpus_docs": n, "ops": results}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
