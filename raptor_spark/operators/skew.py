@@ -14,7 +14,7 @@ rule requires explicit handling for Zipf-hot conversations. Two levers:
    Zipf conversations of the north rule combined with per-bucket
    grouping.
 
-2. **hot key detection**: cheap approximate counts to pick keys above a
+2. **hot key detection**: a map-side-combined exact count picks keys above a
    row-count threshold (drives a broadcast list for plan-time routing).
 
 Window-based ops (as-of, sliding window) need full per-key order and
@@ -32,11 +32,12 @@ from pyspark.sql import functions as F
 
 
 def detect_hot_keys(
-    df: DataFrame, keys: Sequence[str], threshold: int, rsd: float = 0.05
+    df: DataFrame, keys: Sequence[str], threshold: int
 ) -> DataFrame:
-    """Keys whose row count exceeds ``threshold`` (exact groupBy count —
-    itself map-side combined, so safe). Returns a small DataFrame to
-    broadcast."""
+    """Keys whose row count exceeds ``threshold``. The count is an
+    EXACT groupBy count — itself map-side combined, so one shuffle of
+    pre-aggregated (key, n) rows; no approximate pass needed. Returns
+    a small DataFrame to broadcast."""
     return (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -88,6 +88,11 @@ def sliding_agg_exact(
     do not contribute (Spark aggregates skip nulls — matches the
     reference's dropna before aggregation, replay.py:110-111).
     """
+    if over_us <= 0:
+        # -(over_us - 1) would build rangeBetween(1, 0) — an EMPTY
+        # frame yielding count=0/NULL everywhere with no error (a
+        # mis-parsed duration would look like all-zero features)
+        raise ValueError(f"sliding window needs over > 0, got {over_us} µs")
     v = F.col(value) if isinstance(value, str) else value
     w = (
         W.partitionBy(*keys)
@@ -118,13 +123,22 @@ def bucket_partials(
     distinct fn was requested. This is a map-side-combinable groupBy →
     the ONLY shuffle moves pre-aggregated rows.
     """
+    from pyspark.sql.types import NumericType
+
     v = F.col(value) if isinstance(value, str) else value
     need_distinct = any(f in ("distinct_count", "approx_distinct_count") for f in fns)
+    # partial sums stay in the INPUT type (DECIMAL stays exact and
+    # therefore addition-order-independent — the bit-exact oracle
+    # contract; same rule as skew.salted_agg); the single cast to
+    # double happens in merge_buckets' final window. Non-numeric
+    # values (distinct over strings) keep the old cast→null partials.
+    numeric = isinstance(df.select(v.alias("_v")).schema[0].dataType, NumericType)
+    pv = v if numeric else v.cast("double")
     aggs = [
         F.count(v).alias("_p_count"),
-        F.sum(v.cast("double")).alias("_p_sum"),
-        F.min(v.cast("double")).alias("_p_min"),
-        F.max(v.cast("double")).alias("_p_max"),
+        F.sum(pv).alias("_p_sum"),
+        F.min(pv).alias("_p_min"),
+        F.max(pv).alias("_p_max"),
     ]
     if need_distinct:
         if "approx_distinct_count" in fns:
@@ -189,17 +203,29 @@ def merge_buckets(
 
 
 def dedup_bucket_writes(
-    fv: DataFrame, keys: Sequence[str] = ("fqn", "keys", "bucket")
+    fv: DataFrame,
+    keys: Sequence[str] = ("fqn", "keys", "bucket"),
+    order_col: str | None = None,
 ) -> DataFrame:
     """Prefer-final dedup of re-written window buckets: when the same
     (fqn, keys, bucket) was flushed both alive and dead, keep the dead
     (final) row — the batch equivalent of the reference's cleanup
     MERGE (``snowflake/create.go:36-60``: WHEN MATCHED AND
     target.bucket_active AND NOT source.bucket_active THEN DELETE).
-    Expects a ``bucket_active`` boolean column."""
-    w = W.partitionBy(*keys).orderBy(
-        F.col("bucket_active").asc()  # false (final) sorts first
-    )
+    Expects a ``bucket_active`` boolean column (NULL sorts LAST — an
+    unflagged row never beats a final one).
+
+    Determinism among SAME-flag duplicates (a bucket re-flushed alive
+    in several micro-batches): pass ``order_col`` (e.g. a flush ts /
+    batch id) — the HIGHEST wins; without one, ties break on a content
+    hash, so the winner is stable across runs/partitionings (the
+    repo-wide exact-parity contract) even if arbitrary."""
+    order = [F.col("bucket_active").asc_nulls_last()]
+    if order_col is not None:
+        order.append(F.col(order_col).desc_nulls_last())
+    else:
+        order.append(F.xxhash64(*[F.col(c) for c in fv.columns]).asc())
+    w = W.partitionBy(*keys).orderBy(*order)
     return (
         fv.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

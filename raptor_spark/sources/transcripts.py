@@ -35,10 +35,6 @@ _FILLER = (
 )
 
 
-def _turn_count_expr(i):  # conversations cycle 8..40 turns
-    return (i * 7 % 33) + 8
-
-
 def _skewed_turn_count_expr(i):
     # heavy tail: conv 0 gets 50_000 turns, 1-9 get 5_000, rest 8..40
     return F.when(F.col(i) == 0, 50_000).otherwise(
@@ -87,7 +83,8 @@ def transcripts(
             F.array(*[F.lit(x) for x in _TOOLS]), ((i * 31 + t) % 3 + 1).cast("int")
         ),
     )
-    filler_reps = ((i + t) % 5 + 1).cast("int")
+    # filler repetition count: ((conv + turn_idx) % 5) + 1 — must stay
+    # in sync with transcripts_pandas' (i + t) % 5 + 1 oracle twin
     text = F.concat(
         F.lit("conv_"),
         F.lpad(i.cast("string"), 8, "0"),

@@ -90,11 +90,19 @@ def _make_fn(gap_us: int):
                 )
             )
         state.update((last_ts_us, session_idx))
-        # idle keys: drop state one gap past the watermark — a later
-        # row would start a new session anyway (idx resets to 0; the
-        # absolute numbering restarting after true idleness matches
-        # "new session" semantics).
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_us // 1000 + 1)
+        # Evict only when the WATERMARK passes last_event_ts + gap: at
+        # that point any new row is either late (dropped by the
+        # watermark) or starts a new session anyway. Anchoring the
+        # timeout at the watermark instead (review r3) evicted state
+        # for sessions whose last event was far AHEAD of the watermark
+        # — a still-open session would be split and its session_idx
+        # reused for different rows. Spark requires the timestamp to
+        # exceed the current watermark, hence the max().
+        timeout_ms = max(
+            state.getCurrentWatermarkMs() + 1,
+            last_ts_us // 1000 + gap_us // 1000 + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
         return iter(outs)
 
     return fn
@@ -114,9 +122,18 @@ def sessionize_stream(
     session_idx) persist in state.
     """
     gap_us = parse_duration_us(gap)
+    missing = {"conv_id", "turn_idx", ts_col} - set(events.columns)
+    if missing:
+        raise ValueError(
+            f"sessionize_stream needs columns {sorted(missing)} "
+            f"(schema: conv_id, turn_idx, {ts_col})"
+        )
     src = events
+    if ts_col != "ts":
+        # the stateful fn and output schema speak 'ts'
+        src = src.withColumn("ts", F.col(ts_col))
     if events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+        src = src.withWatermark("ts", watermark)
     return src.groupBy("conv_id").applyInPandasWithState(
         _make_fn(gap_us),
         outputStructType=OUTPUT_SCHEMA,

@@ -31,13 +31,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..durations import duration_to_interval_str as _us_to_interval
 from ..durations import parse_duration_us
-
-
-def _us_to_interval(us: int) -> str:
-    if us % 1_000_000 == 0:
-        return f"{us // 1_000_000} seconds"
-    return f"{us} microseconds"
 
 
 def stream_bucket_partials(
@@ -95,7 +90,10 @@ def partials_to_bucket_layout(
     gran_us = parse_duration_us(granularity)
     return partials.select(
         "*",
-        (F.unix_micros(F.col("bucket_start")) / F.lit(gran_us))
+        # FLOOR division, matching bucket_partials' floor(µs/g) — a
+        # float-divide + cast('long') TRUNCATES toward zero and would
+        # disagree on pre-epoch (negative-µs) timestamps
+        F.floor(F.unix_micros(F.col("bucket_start")) / F.lit(gran_us))
         .cast("long")
         .alias("bucket"),
     ).withColumnsRenamed(
