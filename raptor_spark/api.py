@@ -426,7 +426,20 @@ def model(
         def _add(f):
             nonlocal any_selector
             if isinstance(f, Feature):
-                if all(s.name != f.spec.name for s in specs):
+                dup = next(
+                    (s for s in specs if s.name == f.spec.name), None
+                )
+                if dup is not None and dup.fqn != f.spec.fqn:
+                    # same bare name from ANOTHER namespace: its output
+                    # columns would collide in the wide frame — raising
+                    # beats silently training on the wrong feature
+                    raise ValueError(
+                        f"features '{dup.fqn}' and '{f.spec.fqn}' share "
+                        f"output name '{f.spec.name}' — same-named "
+                        "features from different namespaces cannot join "
+                        "one model's frame; rename one"
+                    )
+                if dup is None:
                     specs.append(f.spec)
                     if f.data_source is not None:
                         srcs[f.spec.name] = f.data_source

@@ -61,6 +61,31 @@ def _write_atomic(path: str, obj: dict) -> None:
     os.replace(tmp, path)  # atomic on POSIX → commit point
 
 
+def _expr_id(e) -> str:
+    """PROCESS-STABLE identity for a spec expression. ``str(callable)``
+    embeds a memory address, which would change every process and make
+    a killed run's checkpoint never match on restart (resume silently
+    recomputing everything); compiled programs carry their handler
+    source, plain callables fall back to their own source text or
+    qualified name."""
+    if e is None or isinstance(e, (str, int, float, bool)):
+        return repr(e)
+    if isinstance(e, (list, tuple)):
+        return "[" + ",".join(_expr_id(x) for x in e) + "]"
+    src = getattr(e, "source", None)  # CompiledProgram
+    if src:
+        return f"prog:{src}"
+    import inspect
+
+    try:
+        return "src:" + inspect.getsource(e)
+    except (OSError, TypeError):
+        return (
+            f"fn:{getattr(e, '__module__', '?')}."
+            f"{getattr(e, '__qualname__', type(e).__name__)}"
+        )
+
+
 def plan_hash(
     fs: FeatureSetSpec,
     n_shards: int,
@@ -71,10 +96,16 @@ def plan_hash(
     shard-ASSIGNMENT expression — a ``shard_col`` run whose column
     partitions keys differently from key-hashing must not share
     identity with it, ADVICE r2) + source. Changing any of these
-    invalidates prior shard commits."""
-    spec_repr = repr([(f.name, f.keys, str(f.expr), f.timestamp_col,
-                       f.staleness_us, f.aggr, f.keep_previous, f.filter)
-                      for f in fs.features])
+    invalidates prior shard commits. Every output-changing spec field
+    participates (keys_expr/ts_expr re-key rows; namespace changes the
+    fqn; derived_inputs change the DAG — review r3)."""
+    spec_repr = repr([
+        (f.name, f.namespace, f.keys, _expr_id(f.expr), f.timestamp_col,
+         _expr_id(f.keys_expr), _expr_id(f.ts_expr), f.staleness_us,
+         f.freshness_us, f.aggr, f.keep_previous, f.filter,
+         f.derived_inputs)
+        for f in fs.features
+    ])
     h = hashlib.sha256(
         f"{spec_repr}|{fs.key_feature}|{n_shards}|{shard_expr_id}|"
         f"{source_id}".encode()
@@ -197,6 +228,28 @@ def backfill(
                 shard_expr_id = "key-hash"
     phash = plan_hash(fs, n_shards, source_id, shard_expr_id)
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
+
+    # a prior run with MORE shards leaves data/shard=k dirs beyond this
+    # run's range; nothing would ever overwrite them, and read_backfill
+    # globs the whole data dir — stale rows would silently duplicate
+    # the output (review r3). Shards < n_shards are re-committed (per-
+    # shard overwrite) so only the out-of-range tail needs removal.
+    import shutil
+
+    data_root = os.path.join(out_dir, "data")
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            if name.startswith("shard="):
+                try:
+                    k = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if k >= n_shards:
+                    shutil.rmtree(os.path.join(data_root, name))
+                    try:
+                        os.remove(_shard_record_path(out_dir, k))
+                    except OSError:
+                        pass
 
     done = committed_shards(out_dir, phash) if resume else set()
     prior: dict[int, dict] = {}

@@ -162,6 +162,11 @@ def minhash_lsh_pairs(
             "observation requires max_bucket > 0 — with no cap nothing "
             "attaches the metrics and Observation.get would block forever"
         )
+    if bands <= 0 or k % bands != 0:
+        # k // bands would silently truncate: bands > k gives 0-row
+        # bands whose signature is '' for EVERY doc (one all-pairs
+        # bucket); a non-multiple quietly ignores the trailing hashes
+        raise ValueError(f"k={k} must be a positive multiple of bands={bands}")
     rows = k // bands
     # staged selects: shingle → md5-hash (expensive, once per shingle)
     # → signature (cheap arithmetic). Kept as separate projections so

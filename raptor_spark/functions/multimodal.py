@@ -111,23 +111,9 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
-RESIZED_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType()),
-        StructField("media_type", StringType()),
-        StructField("payload", BinaryType()),
-        StructField(
-            "meta",
-            StructType(
-                [
-                    StructField("width", IntegerType()),
-                    StructField("height", IntegerType()),
-                    StructField("duration_ms", IntegerType()),
-                ]
-            ),
-        ),
-    ]
-)
+# resize preserves the media row shape — ONE schema definition so a
+# future media-schema change cannot silently desynchronize them
+RESIZED_SCHEMA = MEDIA_SCHEMA
 
 FRAME_SCHEMA = StructType(
     [

@@ -346,8 +346,13 @@ def ivf_topk(
             "_cid int, _cent array<double>",
         )
     else:
-        cents_src = corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cent")
+        # first n by id (orderBy+limit → per-partition top-N merge),
+        # not `id < n`: ids may be non-dense or non-numeric — a filter
+        # would silently yield zero centroids and zero neighbors
+        cents_src = (
+            corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cent"))
+            .orderBy("_cid")
+            .limit(n_centroids)
         )
     cents = F.broadcast(cents_src)
 

@@ -57,14 +57,7 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     the stopword-ratio quality signal; near-zero on keyword spam and
     non-prose."""
     t = F.col(text) if isinstance(text, str) else text
-    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
-    hits = F.lit(0)
-    for w in LANG_MARKERS[lang]:
-        pat = f" {w} "
-        hits = hits + (
-            (F.length(padded) - F.length(F.replace(padded, F.lit(pat))))
-            / F.lit(len(pat))
-        ).cast("int")
+    hits = _marker_hits(t, LANG_MARKERS[lang])
     # unrounded — callers (text_stats) apply the portable round6 once
     return F.when(
         token_count(t) > 0, hits.cast("double") / token_count(t)
@@ -125,15 +118,14 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def _marker_hits(t: Column, words: list[str]) -> Column:
-    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
-    total = F.lit(0)
-    for w in words:
-        pat = f" {w} "
-        occ = (F.length(padded) - F.length(F.replace(padded, F.lit(pat)))) / F.lit(
-            len(pat)
-        )
-        total = total + occ.cast("int")
-    return total
+    """Count of whitespace tokens that equal a marker word — split +
+    filter, so ADJACENT occurrences all count. (The previous padded
+    substring-replace consumed the shared boundary space: ' the the '
+    counted ONE hit for two tokens, deflating stopword_ratio and
+    lang_id scores on repetitive prose — review r3. Any whitespace
+    separator counts now, not just a literal space.)"""
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    return F.size(F.filter(toks, lambda w: w.isin(*words))).cast("int")
 
 
 def lang_id(text: Column | str) -> Column:

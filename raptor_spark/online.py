@@ -92,6 +92,7 @@ class OnlineStore:
         overwrite and find the files already deleted)."""
         import shutil
 
+        self._recover()
         tmp = self.path.rstrip("/") + ".compact.tmp"
         self._latest(self.spark.read.parquet(self.path)).write.mode(
             "overwrite"
@@ -101,6 +102,16 @@ class OnlineStore:
         os.replace(self.path, old)
         os.replace(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
+
+    def _recover(self) -> None:
+        """Heal a compact() interrupted between its two renames: the
+        store path is briefly absent while the pre-compact copy sits at
+        .compact.old — restore it so readers never see a missing store
+        (the .tmp result, if complete, is discarded: the old data is
+        equivalent, just uncompacted)."""
+        old = self.path.rstrip("/") + ".compact.old"
+        if not os.path.exists(self.path) and os.path.isdir(old):
+            os.replace(old, self.path)
 
     # -- read ----------------------------------------------------------
     def _latest(self, fv: DataFrame) -> DataFrame:
@@ -119,6 +130,7 @@ class OnlineStore:
         )
 
     def read_latest(self, fqns: Optional[Sequence[str]] = None) -> DataFrame:
+        self._recover()
         df = self.spark.read.parquet(self.path)
         if fqns:
             df = df.filter(F.col("fqn").isin(list(fqns)))  # partition prune

@@ -101,6 +101,10 @@ class CompiledProgram:
     may_be_null: bool = False
     # source columns the handler reads (this_row[...] accesses)
     columns: tuple[str, ...] = ()
+    # dedented handler source — the program's STABLE identity (repr of
+    # the builder closure embeds a memory address, which would break
+    # cross-process checkpoint hashing, backfill.plan_hash)
+    source: str = ""
 
     def __call__(self, df: DataFrame) -> Column:
         col = self.builder(df)
@@ -366,5 +370,5 @@ def compile_handler(fn: Callable) -> CompiledProgram:
 
     return CompiledProgram(
         name=fn.__name__, builder=builder, dependencies=deps, cast_to=cast_to,
-        may_be_null=c.may_be_null, columns=tuple(c.cols),
+        may_be_null=c.may_be_null, columns=tuple(c.cols), source=src,
     )

@@ -59,11 +59,17 @@ def q_pit_asof_join(spark, sf_dir):
     """J1: backward as-of join, staleness 1h — spine = purchases,
     feature = last seen `value` of ANY event per user."""
     ev = _t(spark, sf_dir, "events")
-    fv = ev.select("user_id", "ts", F.col("value").alias("last_value"))
+    # feature_order_col: same-µs feature rows resolve to the highest
+    # event id DETERMINISTICALLY (at 10^12 rows same-µs collisions are
+    # certain; without it the winner is partition-order luck)
+    fv = ev.select(
+        "user_id", "ts", "event_id", F.col("value").alias("last_value")
+    )
     spine = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    return asof_join(spine, fv, ["user_id"], "ts", ["last_value"], staleness_us=HOUR_US)
+    return asof_join(spine, fv, ["user_id"], "ts", ["last_value"],
+                     staleness_us=HOUR_US, feature_order_col="event_id")
 
 
 def q_window_count_1h(spark, sf_dir):
@@ -182,9 +188,9 @@ def q_salted_user_stats(spark, sf_dir):
 def q_lag_lead(spark, sf_dir):
     """W2/W6: per-user prev/next value and prev event_type."""
     ev = _t(spark, sf_dir, "events")
-    out = with_lags(ev, ["user_id"], "ts", "value", 1)
-    out = with_lags(out, ["user_id"], "ts", "event_type", 1)
-    out = with_leads(out, ["user_id"], "ts", "value", 1)
+    out = with_lags(ev, ["user_id"], "ts", "value", 1, tiebreak="event_id")
+    out = with_lags(out, ["user_id"], "ts", "event_type", 1, tiebreak="event_id")
+    out = with_leads(out, ["user_id"], "ts", "value", 1, tiebreak="event_id")
     return out.select(
         "event_id", "user_id", "ts",
         F.col("value_prev1").alias("prev_value"),
@@ -197,7 +203,8 @@ def q_keep_previous_age_guard(spark, sf_dir):
     """W2 with the reference age guard: @-1 over 1h — prev value is
     NULL when older than ts_latest − 1h (replay.py:256-259)."""
     ev = _t(spark, sf_dir, "events")
-    out = with_lags(ev, ["user_id"], "ts", "value", 1, over_us=HOUR_US)
+    out = with_lags(ev, ["user_id"], "ts", "value", 1, over_us=HOUR_US,
+                    tiebreak="event_id")
     return out.select(
         "event_id", "user_id", "ts", F.col("value_prev1").alias("prev_value_1h")
     )
@@ -221,7 +228,8 @@ def q_session_stats_30m(spark, sf_dir):
 def q_valid_till_1h(spark, sf_dir):
     """W1: VALID_TILL expiry = least(next event ts, ts + 1h)."""
     ev = _t(spark, sf_dir, "events")
-    return with_valid_till(ev, ["user_id"], "ts", HOUR_US).select(
+    return with_valid_till(ev, ["user_id"], "ts", HOUR_US,
+                           tiebreak="event_id").select(
         "event_id", "user_id", "ts", "valid_till"
     )
 
@@ -925,13 +933,14 @@ _TOKENS = r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_arr
 
 
 def _lang_hits_sql(lang: str) -> str:
-    terms = []
-    for w in LANG_MARKERS[lang]:
-        pat = f" {w} "
-        terms.append(
-            f"CAST((length(padded) - length(replace(padded, '{pat}', ''))) // {len(pat)} AS INT)"
-        )
-    return " + ".join(terms)
+    """Marker-token count, mirroring text._marker_hits: split on
+    whitespace + filter (the padded substring-replace undercounted
+    ADJACENT marker occurrences on both sides — review r3)."""
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), "
+        f"'\\s+'), x -> x IN ({words}))) AS INT)"
+    )
 
 
 def _minhash_sql() -> str:
@@ -1234,10 +1243,18 @@ def _quality_sql() -> str:
 
 ORACLE_SQL: dict[str, str] = {
     "pit_asof_join": """
-WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+-- same-ts feature rows collapse to the highest event_id BEFORE the
+-- as-of (DuckDB ASOF has no tie control; the engine's
+-- feature_order_col resolves the identical winner)
+fv AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events) WHERE rn = 1)
 SELECT s.event_id, s.user_id, s.ts,
        CASE WHEN f.ts >= s.ts - INTERVAL 1 HOUR THEN f.value END AS last_value
-FROM spine s ASOF LEFT JOIN events f
+FROM spine s ASOF LEFT JOIN fv f
   ON s.user_id = f.user_id AND f.ts <= s.ts
 """,
     "window_count_1h": f"""
@@ -1302,14 +1319,14 @@ SELECT event_id, user_id, ts,
   lead(value) OVER w AS next_value,
   lag(event_type) OVER w AS prev_type
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
     "keep_previous_age_guard": """
 SELECT event_id, user_id, ts,
   CASE WHEN epoch_us(lag(ts) OVER w) >= epoch_us(ts) - 3600000000
        THEN lag(value) OVER w END AS prev_value_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
     "sessionize_30m": """
 WITH g AS (
@@ -1349,7 +1366,7 @@ FROM s GROUP BY 1, 2
 """,
     "valid_till_1h": """
 SELECT event_id, user_id, ts,
-  least(coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+  least(coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                  ts + INTERVAL 1 HOUR),
         ts + INTERVAL 1 HOUR) AS valid_till
 FROM events
@@ -1508,7 +1525,7 @@ SELECT doc_id,
   floor((CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[A-Z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS upper_ratio,
   floor((CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
-    THEN CAST((SELECT {_lang_hits_sql('en')} FROM (SELECT ' ' || lower(text) || ' ' AS padded) _p) AS DOUBLE)
+    THEN CAST({_lang_hits_sql('en')} AS DOUBLE)
          / (CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
     ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
@@ -1540,7 +1557,7 @@ FROM hits h JOIN pn n USING (probe_id)
 WHERE floor((CAST(h.shared_ngrams AS DOUBLE) / CAST(n.probe_ngrams AS DOUBLE)) * 1000000 + 0.5) / 1000000 >= 0.5
 """,
     "clean_corpus": f"""
-WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents),
+WITH p AS (SELECT doc_id, text FROM documents),
 s AS (
   SELECT doc_id,
     {_TOKENS} AS n_tokens,
@@ -1576,7 +1593,7 @@ SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
 FROM ex
 """,
     "lang_id": f"""
-WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+WITH p AS (SELECT doc_id, text FROM documents),
 h AS (SELECT doc_id,
   {_lang_hits_sql('en')} AS h_en,
   {_lang_hits_sql('de')} AS h_de,

@@ -362,3 +362,36 @@ class TestDecoratorSurface:
             @feature(keys="conv_id", data_source="transcripts")
             def bad(this_row, ctx) -> float:
                 return ctx.get_feature("other")
+
+
+def test_model_rejects_cross_namespace_name_collision(spark):
+    """Two same-named features from different namespaces would collide
+    in the wide frame — model() must raise, not silently drop one
+    (review r3)."""
+    import pytest
+
+    from raptor_spark import api
+
+    @api.feature(keys="user_id", data_source="events")
+    @api.namespace("ns_a")
+    def colliding_score(this_row, ctx) -> float:
+        return this_row["value"]
+
+    @api.feature(keys="user_id", data_source="events")
+    @api.namespace("ns_b")
+    def colliding_score_b(this_row, ctx) -> float:
+        return this_row["value"] * 2.0
+
+    # forge the name collision across namespaces
+    colliding_score_b.spec = colliding_score_b.spec.__class__(
+        **{**colliding_score_b.spec.__dict__, "name": "colliding_score"}
+    )
+    with pytest.raises(ValueError, match="share\\s+output name|share output name"):
+        @api.model(
+            keys="user_id",
+            input_features=[colliding_score, colliding_score_b],
+            input_labels=[],
+            key_feature=colliding_score,
+        )
+        def m(ctx):
+            pass

@@ -179,3 +179,56 @@ def test_backfill_null_shard_col_raises(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="NULL shard assignment"):
         backfill(spark, src, transcript_feature_set(), out, n_shards=2,
                  shard_col="pb", source_id="t")
+
+
+def test_plan_hash_stable_and_sensitive():
+    """Checkpoint identity must be process-stable for compiled handlers
+    (str(callable) embeds a memory address → resume never matched
+    across restarts) and must move when keys_expr/ts_expr change
+    (review r3)."""
+    from raptor_spark.program import compile_handler
+    from raptor_spark.specs import FeatureSetSpec, FeatureSpec
+
+    def turn_len(this_row, ctx) -> float:
+        return len(this_row["text"])
+
+    prog = compile_handler(turn_len)
+    fs = FeatureSetSpec(
+        features=[
+            FeatureSpec(name="turn_len", keys=("conv_id",), expr=prog),
+        ],
+        key_feature="turn_len",
+    )
+    h = plan_hash(fs, 4, "t")
+    assert "0x" not in repr(h)
+    # identity derives from the handler SOURCE, not the closure object
+    prog2 = compile_handler(turn_len)
+    fs2 = FeatureSetSpec(
+        features=[
+            FeatureSpec(name="turn_len", keys=("conv_id",), expr=prog2),
+        ],
+        key_feature="turn_len",
+    )
+    assert plan_hash(fs2, 4, "t") == h
+
+    rekeyed = FeatureSetSpec(
+        features=[
+            FeatureSpec(name="turn_len", keys=("conv_id",), expr=prog,
+                        keys_expr="upper(conv_id)"),
+        ],
+        key_feature="turn_len",
+    )
+    assert plan_hash(rekeyed, 4, "t") != h
+
+
+def test_rerun_with_fewer_shards_prunes_stale_dirs(spark, src, tmp_path_factory):
+    """A prior wider-sharded run's out-of-range shard dirs must be
+    removed — read_backfill would otherwise return duplicated rows
+    (review r3)."""
+    out = str(tmp_path_factory.mktemp("bf_shrink"))
+    fs = transcript_feature_set()
+    backfill(spark, src, fs, out, n_shards=4, source_id="t")
+    n4 = read_backfill(spark, out).count()
+    backfill(spark, src, fs, out, n_shards=2, source_id="t")
+    got = read_backfill(spark, out)
+    assert got.count() == n4  # no duplication from stale shard dirs

@@ -63,3 +63,33 @@ def test_bool_and_string_features_fused(spark):
     assert wide.schema["is_tool"].dataType.simpleString() == "boolean"
     assert isinstance(wide.schema["last_role"].dataType, StringType)
     assert wide.count() == src.count()
+
+
+def test_marker_hits_counts_adjacent_tokens(spark):
+    """'the the' = TWO stopword tokens (the padded substring-replace
+    counted one — review r3); tab/newline separators count too."""
+    from raptor_spark.functions.text import stopword_ratio
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("the the",), ("the\tthe\nthe",), ("spam ham",), ("",)],
+        "text string",
+    )
+    got = [
+        r["r"]
+        for r in df.select(stopword_ratio("text").alias("r")).collect()
+    ]
+    assert got == [1.0, 1.0, 0.0, 0.0]
+
+
+def test_minhash_rejects_bad_band_split(spark):
+    import pytest
+
+    from raptor_spark.functions.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_lsh_pairs(df, "doc_id", k=4, bands=8)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_lsh_pairs(df, "doc_id", k=16, bands=5)
