@@ -55,6 +55,8 @@ HEADLINE = [
     "doc_chunks",           # context-window chunking (500c/100c overlap)
     "clean_corpus",         # composed quality/lang filter + dedup keep-rep
     "decontaminate",        # 8-gram collision vs benchmark set (broadcast)
+    "pii_scrub",            # staged PII/link masking + redaction counts
+    "mixture_sample",       # deterministic stratified data mixing
     "repetition",           # intra-doc n-gram repetition ratio
     "containment",          # partial-overlap window fingerprints
     "media_features",       # multimodal mapInPandas plumbing

@@ -1,0 +1,87 @@
+"""Deterministic sampling / data-mixing operators for training-corpus
+assembly. A 100 TB pre-training run does not use ``rand()``: the mix
+must be REPRODUCIBLE (same corpus + same config → bit-identical
+sample, resumable across retries and partition re-executions) and
+auditable per stratum. Everything here is a pure function of row
+content via the engine-portable md5→bigint hash (dedup.md5_long), so
+it is map-only (zero shuffle, no RNG state, no seed-per-partition
+coupling), survives speculative re-execution, and the DuckDB oracle
+replays it exactly.
+
+Reference has no sampling stage — these are training-pipeline
+extensions (brief §pipeline: data mixing / stratified sampling).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+# hash buckets per unit of sampling rate — rates snap to 1/RESOLUTION
+RESOLUTION = 1_000_000
+
+
+def hash_bucket(key: Column, salt: str) -> Column:
+    """Uniform bucket in [0, RESOLUTION) from (salt, key) — md5-based
+    so any engine reproduces it. Changing the salt draws a fresh
+    independent sample (the salt is the 'seed')."""
+    return md5_long(F.concat(F.lit(salt + "|"), key.cast("string"))) % RESOLUTION
+
+
+def sample_fraction(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed on ``id_col``.
+    Map-only filter — Catalyst pushes it into the scan, so at 100 TB
+    the dropped rows never leave the reader."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(
+        hash_bucket(F.col(id_col), salt) < int(round(fraction * RESOLUTION))
+    )
+
+
+def sample_mixture(
+    df: DataFrame,
+    id_col: str,
+    stratum: Column | str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Stratified data mixing: keep each row with its stratum's rate
+    (e.g. ``{"en": 1.0, "de": 0.3}`` up/down-weights languages into a
+    training mix). Deterministic per row — one CASE expression picks
+    the rate, one hash compare keeps/drops; zero shuffle at any scale.
+    Rows whose stratum is absent from ``rates`` use ``default_rate``
+    (0 = drop, the safe default for an explicit mix spec).
+
+    Output = input columns + ``stratum``. Rates snap to 1/RESOLUTION.
+    """
+    s = F.col(stratum) if isinstance(stratum, str) else stratum
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    thresh: Column = F.lit(int(round(default_rate * RESOLUTION)))
+    for name, r in rates.items():
+        thresh = F.when(
+            s == name, F.lit(int(round(r * RESOLUTION)))
+        ).otherwise(thresh)
+    return df.withColumn("stratum", s).filter(
+        hash_bucket(F.col(id_col), salt) < thresh
+    )
+
+
+def shuffle_order(key: Column, salt: str = "shuffle") -> Column:
+    """Deterministic global-shuffle sort key (training-example order
+    randomization without rand()): orderBy(shuffle_order(id)) gives a
+    reproducible permutation; at scale, write with
+    ``repartitionByRange`` on this key so the sort is one range
+    exchange, not a single-partition collapse."""
+    return md5_long(F.concat(F.lit(salt + "|"), key.cast("string")))

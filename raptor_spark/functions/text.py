@@ -167,6 +167,63 @@ def text_stats(text_col: str = "text") -> list[Column]:
     ]
 
 
+# ---------------------------------------------------------------- PII
+# RE2-safe patterns (no lookaround/backrefs) so the DuckDB oracle runs
+# the IDENTICAL regex: Java (Spark) and RE2 (DuckDB) agree on these.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # masked in this order — URLs first (they may embed @ or digit runs
+    # that the later patterns would half-match), phones last (after IP
+    # masking no dotted-quad digit run is left to confuse them)
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() .-]{6,}\d\b", "<PHONE>"),
+]
+
+
+def pii_mask(text: Column | str) -> tuple[Column, dict[str, Column]]:
+    """Mask URLs / emails / IPv4s / phone-ish digit runs with typed
+    placeholder tokens — the standard pre-training PII / link scrub.
+    Returns ``(masked_text, {kind: count})`` where each count is the
+    number of redactions of that kind, measured on the text AS IT WAS
+    when that pattern ran (sequential semantics: an email inside a URL
+    is one <URL>, not an <EMAIL>).
+
+    Pure JVM exprs (regexp_replace / regexp_extract_all) — full scan
+    speed at 100 TB, no Python. Heuristic by design: a version string
+    '1.2.3.4' reads as an IP; acceptable for corpus scrubbing where
+    recall beats precision. Reference has no PII stage — this is one
+    of the training-pipeline extensions (brief §pipeline)."""
+    t = F.col(text) if isinstance(text, str) else text
+    counts: dict[str, Column] = {}
+    cur = t
+    for kind, pat, token in PII_PATTERNS:
+        counts[kind] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), 0)
+        ).cast("int")
+        cur = F.regexp_replace(cur, pat, token)
+    return cur, counts
+
+
+def mask_pii(df, id_col: str = "doc_id", text_col: str = "text"):
+    """DF-level PII scrub: one staged select per pattern so each
+    regexp chain is evaluated ONCE per row (a single projection would
+    re-evaluate the growing replace chain inside every count — the
+    expression-re-evaluation trap in CLAUDE.md). Returns
+    (id, masked_text, n_<kind>...)."""
+    cur = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    for kind, pat, token in PII_PATTERNS:
+        cur = cur.select(
+            id_col,
+            *[c for c in cur.columns if c.startswith("n_")],
+            F.size(F.regexp_extract_all(F.col("_t"), F.lit(pat), 0))
+            .cast("int")
+            .alias(f"n_{kind}"),
+            F.regexp_replace(F.col("_t"), pat, token).alias("_t"),
+        )
+    return cur.withColumnRenamed("_t", "masked_text")
+
+
 def chunk_docs(
     df,
     id_col: str = "doc_id",

@@ -646,6 +646,53 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_docs(docs).select("doc_id", "chunk_idx", "chunk", "n_chunks")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII / link scrub: mask URLs, emails, IPv4s, phone-ish runs with
+    typed tokens + per-kind redaction counts (sequential semantics —
+    an email inside a URL is one <URL>). Map-only JVM regex at any
+    scale. Every 7th doc gets a deterministic PII-bearing suffix so
+    the parity check actually exercises all four patterns (the
+    synthetic corpus contains no organic PII)."""
+    from .functions.text import mask_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_PII_SUFFIX)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return mask_pii(docs, "doc_id", "text")
+
+
+_PII_SUFFIX = (
+    " Contact bob.smith+x@mail.example.org or 10.0.0.1 via"
+    " +1 (555) 123-4567, see https://ex.io/p?q=1 now."
+)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic data mixing: stratify by language guess, keep
+    en=100% / es=75% / de=50% / fr=25% / other=10% via the
+    engine-portable md5 hash — reproducible (no rand()), map-only
+    (zero shuffle), safe under speculative re-execution. The standard
+    corpus-mixing step before training."""
+    from .functions.sampling import sample_mixture
+    from .functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id("text").alias("_lang")
+    )
+    return sample_mixture(
+        docs,
+        "doc_id",
+        "_lang",
+        {"en": 1.0, "es": 0.75, "de": 0.5, "fr": 0.25},
+        default_rate=0.1,
+        salt="mix",
+    ).select("doc_id", "stratum")
+
+
 def q_token_freq(spark, sf_dir):
     """BPE-ish regex pre-tokenization + corpus-level top-20 token
     frequencies (letters runs | digit runs | single symbols)."""
@@ -900,6 +947,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "simhash_dedup": q_simhash_dedup,
     "token_freq": q_token_freq,
+    "pii_scrub": q_pii_scrub,
+    "mixture_sample": q_mixture_sample,
     "decontaminate": q_decontaminate,
     "clean_corpus": q_clean_corpus,
     "doc_chunks": q_doc_chunks,
@@ -941,6 +990,42 @@ def _lang_hits_sql(lang: str) -> str:
         "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), "
         f"'\\s+'), x -> x IN ({words}))) AS INT)"
     )
+
+
+def _pii_sql() -> str:
+    """Staged CTEs mirroring mask_pii stage-for-stage, generated from
+    the SAME PII_PATTERNS list (RE2-safe by construction) so the two
+    sides cannot drift."""
+    from .functions.text import PII_PATTERNS
+
+    sql = (
+        "WITH s0 AS (\n"
+        "  SELECT doc_id,\n"
+        f"    CASE WHEN doc_id % 7 = 0 THEN text || '{_PII_SUFFIX}'\n"
+        "         ELSE text END AS t\n"
+        "  FROM documents)"
+    )
+    seen: list[str] = []
+    for i, (kind, pat, token) in enumerate(PII_PATTERNS, 1):
+        prior = "".join(f"n_{k}, " for k in seen)
+        sql += (
+            f",\ns{i} AS (\n"
+            f"  SELECT doc_id, {prior}"
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{kind},\n"
+            f"    regexp_replace(t, '{pat}', '{token}', 'g') AS t\n"
+            f"  FROM s{i - 1})"
+        )
+        seen.append(kind)
+    cols = ", ".join(f"n_{k}" for k in seen)
+    return sql + (
+        f"\nSELECT doc_id, {cols}, t AS masked_text FROM s{len(seen)}"
+    )
+
+
+_MIX_HASH = (
+    "CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    "AS BIGINT) % 1000000"
+)
 
 
 def _minhash_sql() -> str:
@@ -1608,6 +1693,28 @@ SELECT doc_id,
     WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de AND h_es >= h_fr THEN 'es'
     ELSE 'und' END AS lang_guess
 FROM h
+""",
+    "pii_scrub": _pii_sql(),
+    "mixture_sample": f"""
+WITH p AS (SELECT doc_id, text FROM documents),
+h AS (SELECT doc_id,
+  {_lang_hits_sql('en')} AS h_en,
+  {_lang_hits_sql('de')} AS h_de,
+  {_lang_hits_sql('fr')} AS h_fr,
+  {_lang_hits_sql('es')} AS h_es
+FROM p),
+l AS (SELECT doc_id,
+  CASE
+    WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+    WHEN h_de > 0 AND h_de >= h_fr AND h_de >= h_es AND h_de >= h_en THEN 'de'
+    WHEN h_fr > 0 AND h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+    WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+    ELSE 'und' END AS stratum
+FROM h)
+SELECT doc_id, stratum FROM l
+WHERE {_MIX_HASH} < CASE stratum
+  WHEN 'en' THEN 1000000 WHEN 'es' THEN 750000
+  WHEN 'de' THEN 500000 WHEN 'fr' THEN 250000 ELSE 100000 END
 """,
     "minhash_lsh": _minhash_sql(),
     "dup_clusters": _dup_clusters_sql(),
