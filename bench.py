@@ -53,6 +53,7 @@ HEADLINE = [
     "simhash_dedup",        # SimHash near-dup groups
     "token_freq",           # BPE-ish tokenize + corpus top-k
     "doc_chunks",           # context-window chunking (500c/100c overlap)
+    "pack_sequences",       # two-level prefix-sum sequence packing
     "clean_corpus",         # composed quality/lang filter + dedup keep-rep
     "decontaminate",        # 8-gram collision vs benchmark set (broadcast)
     "pii_scrub",            # staged PII/link masking + redaction counts

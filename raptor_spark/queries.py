@@ -646,6 +646,26 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_docs(docs).select("doc_id", "chunk_idx", "chunk", "n_chunks")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for pre-training: shuffle documents into a
+    deterministic pseudo-random order, lay them out on one global
+    token stream (an ``eod`` separator after each doc) and cut
+    seq_len=512 context windows; one row per (doc, sequence) slice.
+    The global exclusive prefix sum is the two-level scan in
+    functions/packing.py — per-block partials + a broadcast of the
+    tiny block-offset frame + ONE corpus shuffle; never a
+    single-partition window over the corpus."""
+    from .functions.packing import pack_sequences
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", seq_len=512, eod=1, n_blocks=64
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII / link scrub: mask URLs, emails, IPv4s, phone-ish runs with
     typed tokens + per-kind redaction counts (sequential semantics —
@@ -952,6 +972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "clean_corpus": q_clean_corpus,
     "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
     "repetition": q_repetition,
     "containment": q_containment,
     "media_features": q_media_features,
@@ -1662,6 +1683,30 @@ SELECT doc_id, n_tokens, quality, fp,
   count(*) OVER (PARTITION BY fp) AS n_dups
 FROM f
 QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+""",
+    "pack_sequences": f"""
+WITH toks AS (
+  SELECT doc_id,
+    CAST({_TOKENS} AS BIGINT) AS n_tokens,
+    CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15)
+         AS BIGINT) AS okey
+  FROM documents),
+placed AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens + 1) OVER (
+      ORDER BY okey, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM toks WHERE n_tokens > 0),
+spans AS (
+  SELECT doc_id, n_tokens, off,
+    unnest(generate_series(off // 512, (off + n_tokens - 1) // 512)) AS seq_id
+  FROM placed)
+SELECT doc_id, seq_id,
+  greatest(off, seq_id * 512) - seq_id * 512 AS seq_off,
+  greatest(CAST(0 AS BIGINT), seq_id * 512 - off) AS doc_off,
+  least(off + n_tokens, (seq_id + 1) * 512)
+    - greatest(off, seq_id * 512) AS len
+FROM spans
 """,
     "doc_chunks": """
 WITH n AS (
