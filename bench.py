@@ -52,6 +52,8 @@ HEADLINE = [
     "dup_clusters",         # connected components of dup pairs
     "simhash_dedup",        # SimHash near-dup groups
     "token_freq",           # BPE-ish tokenize + corpus top-k
+    "cms_heavy_hitters",    # count-min sketch estimates (oracle-exact)
+    "value_quantiles",      # exact grouped p50/p95/p99
     "doc_chunks",           # context-window chunking (500c/100c overlap)
     "pack_sequences",       # two-level prefix-sum sequence packing
     "clean_corpus",         # composed quality/lang filter + dedup keep-rep

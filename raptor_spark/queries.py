@@ -731,6 +731,51 @@ def q_token_freq(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the corpus token stream:
+    build d=4 × w=512 CMS cells (map-side combined — the only corpus
+    shuffle moves ≤ d·w pre-aggregated rows per partition), estimate
+    the top-20 exact tokens against the broadcast sketch, and emit
+    est vs exact with the one-sided guarantee flag (est ≥ exact
+    always, by construction). The md5-derived hash rows make the
+    ESTIMATES bit-reproducible, so the DuckDB oracle replays the
+    whole sketch — not just an accuracy gate."""
+    from .functions.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0)
+        ).alias("token")
+    )
+    cells = cms_build(toks, "token", depth=4, width=512)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = counts.orderBy(F.col("exact_n").desc(), F.col("token")).limit(20)
+    est = cms_estimate(top, cells, "token", depth=4, width=512)
+    return est.select(
+        "token",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("cms_ok"),
+    )
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact grouped quantiles (p50/p95/p99 of event value per
+    event_type): Spark's sort-based ``percentile`` aggregate — one
+    shuffle on the group key, partial sort per group; round6 canon
+    for cross-engine bit-parity of the interpolated quotients."""
+    from .functions.rounding import round6
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round6(F.percentile("value", 0.5)).alias("p50"),
+        round6(F.percentile("value", 0.95)).alias("p95"),
+        round6(F.percentile("value", 0.99)).alias("p99"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synthesize binary media payloads from the
     documents table, run the Arrow-batched mapInPandas feature
@@ -967,6 +1012,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "simhash_dedup": q_simhash_dedup,
     "token_freq": q_token_freq,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "value_quantiles": q_value_quantiles,
     "pii_scrub": q_pii_scrub,
     "mixture_sample": q_mixture_sample,
     "decontaminate": q_decontaminate,
@@ -1804,6 +1851,40 @@ SELECT token, n,
   CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
 FROM counts
 QUALIFY rank <= 20
+""",
+    "cms_heavy_hitters": f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+  FROM documents),
+counts AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY 1),
+rws AS (SELECT unnest([0, 1, 2, 3]) AS row),
+hashes AS (
+  SELECT c.token, c.exact_n, r.row,
+    CAST('0x' || substr(md5('cms' || r.row || '|' || c.token), 1, 15)
+         AS BIGINT) % 512 AS col
+  FROM counts c, rws r),
+cells AS (
+  SELECT row, col, CAST(SUM(exact_n) AS BIGINT) AS cell
+  FROM hashes GROUP BY row, col),
+top AS (
+  SELECT token, exact_n FROM counts
+  QUALIFY row_number() OVER (ORDER BY exact_n DESC, token) <= 20)
+SELECT t.token, t.exact_n,
+  CAST(MIN(cl.cell) AS BIGINT) AS est_n,
+  CAST(MIN(cl.cell) AS BIGINT) >= t.exact_n AS cms_ok
+FROM top t
+JOIN hashes h ON h.token = t.token
+JOIN cells cl ON cl.row = h.row AND cl.col = h.col
+GROUP BY t.token, t.exact_n
+""",
+    "value_quantiles": """
+SELECT event_type,
+  count(*) AS n_events,
+  floor(quantile_cont(value, 0.5)  * 1000000 + 0.5) / 1000000 AS p50,
+  floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
+  floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99
+FROM events
+GROUP BY event_type
 """,
     "media_features": """
 SELECT doc_id AS media_id,

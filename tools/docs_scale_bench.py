@@ -93,8 +93,19 @@ def main() -> None:
             rep, top = repetition_stats("text")
             return d.repartition(64).select("doc_id", rep.alias("r"), top.alias("t"))
 
+        def pack(d):
+            from raptor_spark.functions.packing import pack_sequences
+
+            toks = d.select(
+                "doc_id", token_count("text").alias("n_tokens")
+            )
+            return pack_sequences(
+                toks, "doc_id", "n_tokens", seq_len=2048, n_blocks=256
+            )
+
         OPS = {
             "exact_dedup": lambda d: exact_dedup(d, "doc_id"),
+            "pack_sequences": pack,
             "minhash_lsh": lambda d: minhash_lsh_pairs(d, "doc_id"),
             "repetition": repetition,
             "doc_chunks": lambda d: chunk_docs(d),

@@ -105,6 +105,15 @@ NOTES = {
         "explode is the only fan-out — ZERO shuffles, embarrassingly "
         "parallel at any corpus size."
     ),
+    "pack_sequences": (
+        "Two-level distributed prefix sum: arithmetic block assignment "
+        "from the 60-bit order hash (no repartitionByRange sampling), "
+        "per-block totals map-side combined to <=n_blocks rows, block "
+        "offsets broadcast, ONE corpus shuffle for the within-block "
+        "cumsum. The plan's one no-partition window runs over the "
+        "n_blocks-row AGGREGATE (bounded by construction), never the "
+        "corpus — at 100 B docs with 2^16 blocks it sorts 65k rows."
+    ),
     "decontaminate": (
         "Probe (benchmark) n-gram hashes BROADCAST to the corpus scan "
         "— a 100 TB corpus is one scan + map-side hash join; the only "
@@ -125,6 +134,12 @@ NOTES = {
         "O(spine x history)."
     ),
 }
+
+
+# queries whose no-partition window runs over a pre-aggregated frame
+# that is bounded by construction (NOT the corpus) — labeled honestly
+# in the table instead of the **YES** scale-killer flag.
+BOUNDED_WINDOW = {"pack_sequences"}
 
 
 def audit(name: str, df) -> dict:
@@ -163,10 +178,15 @@ def main() -> None:
     for name in NOTES:
         df = QUERIES[name](spark, SF)
         a = audit(name, df)
+        if a["single_partition_window"]:
+            flag = (
+                "bounded (agg frame)" if name in BOUNDED_WINDOW else "**YES**"
+            )
+        else:
+            flag = "no"
         lines.append(
             f"| {name} | {a['shuffles']} | {a['broadcasts']} | "
-            f"{'**YES**' if a['single_partition_window'] else 'no'} | "
-            f"{a['read_cols']} |"
+            f"{flag} | {a['read_cols']} |"
         )
         notes.append(f"\n## {name}\n\n{NOTES[name]}\n")
     lines.append(
