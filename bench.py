@@ -53,6 +53,7 @@ HEADLINE = [
     "simhash_dedup",        # SimHash near-dup groups
     "token_freq",           # BPE-ish tokenize + corpus top-k
     "cms_heavy_hitters",    # count-min sketch estimates (oracle-exact)
+    "domain_stats",         # per-domain curation stats (URL extract)
     "value_quantiles",      # exact grouped p50/p95/p99
     "doc_chunks",           # context-window chunking (500c/100c overlap)
     "pack_sequences",       # two-level prefix-sum sequence packing

@@ -48,19 +48,33 @@ def exact_dedup(
     )
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """n-gram word shingles as an array<string> (distinct)."""
-    t = F.col(text) if isinstance(text, str) else text
-    toks = F.split(_norm(t), " ")
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-gram word shingles from an ALREADY-SPLIT token array
+    (distinct). Callers should stage the split in its own select:
+    expressions inside a ``transform`` lambda are re-evaluated per
+    element, so an embedded ``split(norm(text))`` makes shingling
+    O(positions × text_len) per document, where a staged column
+    attribute is read once per row (the repo's documented
+    higher-order-function pitfall — this exact shape cost
+    decontaminate 3× at sf0.1)."""
     k = F.size(toks) - (n - 1)
     sh = F.when(
         k > 0,
         F.transform(
             F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+            # ONE reference to toks per element (slice), not n
+            lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
         ),
-    ).otherwise(F.array(_norm(t)))
+    ).otherwise(F.array(F.array_join(toks, " ")))
     return F.array_distinct(sh)
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """n-gram word shingles as an array<string> (distinct). For
+    per-row hot paths prefer staging ``split(_norm(text), ' ')`` in
+    its own select and calling :func:`word_shingles_from_tokens`."""
+    t = F.col(text) if isinstance(text, str) else text
+    return word_shingles_from_tokens(F.split(_norm(t), " "), n)
 
 
 def char_shingles(text: Column | str, n: int = 5) -> Column:
@@ -178,9 +192,16 @@ def minhash_lsh_pairs(
     # AQE-coalesced back to one partition when the bytes are small,
     # even though the per-row CPU (md5 x shingles) is the real cost.
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_n).alias("_sh"),
+    sh = (
+        df.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.split(_norm(F.col(text_col)), " ").alias("_toks"),
+        )
+        .select(
+            "_id",
+            word_shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh"),
+        )
     )
     hashed = sh.select(
         "_id",
@@ -475,6 +496,16 @@ def window_fingerprints(
     per-window rehash at stride=1, but sampled strides make the md5
     cost O(len/stride) and keep cross-engine determinism."""
     t = _norm(F.col(text) if isinstance(text, str) else text)
+    return window_fingerprints_from_norm(t, w, stride)
+
+
+def window_fingerprints_from_norm(
+    t: Column, w: int = 48, stride: int = 24
+) -> Column:
+    """As :func:`window_fingerprints` over ALREADY-NORMALIZED text.
+    Stage the normalization in its own select for per-row hot paths —
+    a lambda-embedded ``_norm(text)`` re-evaluates the full-text
+    regex per window (the higher-order-function pitfall)."""
     n_win = F.floor((F.length(t) - w) / F.lit(stride)) + 1
     wins = F.when(
         F.length(t) >= w,
@@ -506,7 +537,13 @@ def containment_pairs(
         df.repartition(n_part, F.col(id_col))
         .select(
             F.col(id_col).alias("_id"),
-            F.explode(window_fingerprints(text_col, w, stride)).alias("fp"),
+            _norm(F.col(text_col)).alias("_nt"),
+        )
+        .select(
+            "_id",
+            F.explode(
+                window_fingerprints_from_norm(F.col("_nt"), w, stride)
+            ).alias("fp"),
         )
     )
     buckets = (
@@ -549,10 +586,21 @@ def ngram_collision_pairs(
     contamination >= threshold (compared on the ROUNDED value).
     """
     def grams(df: DataFrame, idc: str, alias: str) -> DataFrame:
-        return df.select(
-            F.col(idc).alias(alias),
-            F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
-        ).select(alias, md5_long(F.col("_g")).alias("gh"))
+        # stage the split so the transform lambda reads a row
+        # attribute, not an embedded split(norm(text)) per element
+        return (
+            df.select(
+                F.col(idc).alias(alias),
+                F.split(_norm(F.col(text_col)), " ").alias("_toks"),
+            )
+            .select(
+                alias,
+                F.explode(word_shingles_from_tokens(F.col("_toks"), n)).alias(
+                    "_g"
+                ),
+            )
+            .select(alias, md5_long(F.col("_g")).alias("gh"))
+        )
 
     pg = grams(probes, probe_id_col, "probe_id")
     pn = pg.groupBy("probe_id").agg(F.count(F.lit(1)).alias("probe_ngrams"))
@@ -596,8 +644,12 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard_sim)."""
     sh = df.select(
         F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_n).alias("_sh"),
+        F.split(_norm(F.col(text_col)), " ").alias("_toks"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    ).select(
+        "_id",
+        word_shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh"),
+        *( ["_blk"] if block_col else [] ),
     )
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col("a._id") < F.col("b._id")

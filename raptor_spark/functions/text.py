@@ -64,21 +64,22 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def repetition_stats(text: Column | str, n: int = 3) -> tuple[Column, Column]:
-    """Intra-document n-gram repetition: ``(n_grams, rep_ratio)`` where
-    rep_ratio = 1 − distinct/total word n-grams (0 for docs shorter
-    than n words). High values flag boilerplate/looped generations —
-    a standard training-data quality filter. Pure Column exprs (one
-    split + one transform per row, JVM-side)."""
-    t = F.col(text) if isinstance(text, str) else text
-    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
-    toks = F.split(norm, " ")
+def repetition_stats_from_tokens(
+    toks: Column, n: int = 3
+) -> tuple[Column, Column]:
+    """Intra-document n-gram repetition from an ALREADY-SPLIT token
+    array: ``(n_grams, rep_ratio)`` where rep_ratio = 1 −
+    distinct/total word n-grams (0 for docs shorter than n words).
+    Stage the split in its own select — lambda-embedded splits
+    re-evaluate per element (the repo's higher-order-function
+    pitfall)."""
     k = F.size(toks) - (n - 1)
     # only referenced inside the k > 0 branch below (CaseWhen evaluates
     # branches lazily, so sequence(1, k) never sees k <= 0)
     sh = F.transform(
         F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        # ONE toks reference per element (slice), not n
+        lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
     )
     n_grams = F.when(k > 0, k).otherwise(F.lit(0)).cast("int")
     ratio = F.when(
@@ -89,6 +90,15 @@ def repetition_stats(text: Column | str, n: int = 3) -> tuple[Column, Column]:
         ),
     ).otherwise(F.lit(0.0))
     return n_grams, ratio
+
+
+def repetition_stats(text: Column | str, n: int = 3) -> tuple[Column, Column]:
+    """As :func:`repetition_stats_from_tokens` from raw text. For hot
+    paths stage ``split(norm, ' ')`` in its own select and use the
+    from_tokens variant."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    return repetition_stats_from_tokens(F.split(norm, " "), n)
 
 
 def quality_score(text: Column | str) -> Column:
@@ -275,4 +285,22 @@ def chunk_docs(
         F.col("_c.chunk_idx").alias("chunk_idx"),
         F.col("_c.chunk").alias("chunk"),
         "n_chunks",
+    )
+
+
+URL_RE = r"https?://[^\s]+"
+# host = everything after the scheme up to the first /, :, ?, or #
+DOMAIN_RE = r"^https?://([^/:?#]+)"
+
+
+def extract_domains(text: Column | str) -> Column:
+    """Array of lower-cased domains of every URL in ``text`` (one
+    entry per URL occurrence, duplicates kept — callers decide
+    whether to distinct). Pure JVM regex; the curation axis for
+    per-domain corpus filtering/mixing (domains are the standard
+    quality stratum in web-scale pretraining sets)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.transform(
+        F.regexp_extract_all(t, F.lit(URL_RE), 0),
+        lambda u: F.lower(F.regexp_extract(u, DOMAIN_RE, 1)),
     )

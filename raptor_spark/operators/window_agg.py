@@ -37,6 +37,7 @@ also value-based per bucket. Divergence documented like J1/J2
 
 from __future__ import annotations
 
+import warnings
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W
@@ -45,6 +46,10 @@ from pyspark.sql import functions as F
 from .tsutil import micros
 
 _MERGEABLE = {"count", "sum", "min", "max"}  # avg derived; distinct special
+
+# per-event exact distinct beyond this window span gets a warning
+# steering to the bucketed HLL path (24h)
+_DISTINCT_GUARD_US = 24 * 3_600_000_000
 
 
 def _agg_over(fn: str, value: Column, w) -> Column:
@@ -93,6 +98,19 @@ def sliding_agg_exact(
         # frame yielding count=0/NULL everywhere with no error (a
         # mis-parsed duration would look like all-zero features)
         raise ValueError(f"sliding window needs over > 0, got {over_us} µs")
+    if over_us > _DISTINCT_GUARD_US and any(
+        f in ("distinct_count", "approx_distinct_count") for f in fns
+    ):
+        # per-event collect_set buffers every distinct value in the
+        # trailing window PER ROW — fine for short windows, a memory
+        # cliff on long ones. The bucketed path carries mergeable HLL
+        # sketches instead.
+        warnings.warn(
+            f"exact distinct_count over a {over_us / 3_600_000_000:.0f}h "
+            "window buffers per-row value sets; use sliding_agg_bucketed "
+            "(HLL partials) for windows beyond 24h",
+            stacklevel=2,
+        )
     v = F.col(value) if isinstance(value, str) else value
     w = (
         W.partitionBy(*keys)

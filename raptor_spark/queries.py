@@ -565,7 +565,7 @@ def q_containment(spark, sf_dir):
 def q_repetition(spark, sf_dir):
     """Intra-doc 3-gram repetition ratio (boilerplate / looped-output
     filter): rep_ratio = 1 − distinct/total word trigrams."""
-    from .functions.text import repetition_stats
+    from .functions.text import repetition_stats_from_tokens
 
     docs = _t(spark, sf_dir, "documents")
     # CPU-heavy per-row shingling over a single parquet split would run
@@ -573,8 +573,15 @@ def q_repetition(spark, sf_dir):
     # explicit N so AQE can't coalesce the small-bytes exchange)
     n_part = spark.sparkContext.defaultParallelism
     docs = docs.repartition(n_part, F.col("doc_id"))
-    n_grams, ratio = repetition_stats("text", 3)
-    return docs.select(
+    # stage the split so the shingle transform reads a row attribute
+    staged = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        ).alias("_toks"),
+    )
+    n_grams, ratio = repetition_stats_from_tokens(F.col("_toks"), 3)
+    return staged.select(
         "doc_id", n_grams.alias("n_grams"), ratio.alias("rep_ratio")
     )
 
@@ -729,6 +736,47 @@ def q_token_freq(spark, sf_dir):
     top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
     w = W.orderBy(F.col("n").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus stats (the standard quality stratum for
+    web-scale pretraining curation): extract every URL's domain, then
+    per-domain distinct-doc count, URL count, and URL-weighted mean
+    quality. Map-only JVM regex + ONE shuffle on the (bounded)
+    domain key. Every 5th doc gets a deterministic URL-bearing suffix
+    so parity exercises the path (no organic URLs in the synthetic
+    corpus)."""
+    from .functions.rounding import round6
+    from .functions.text import extract_domains, quality_score
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" See https://w"),
+                (F.col("doc_id") % 23).cast("string"),
+                F.lit(".example"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" and http://cdn"),
+                (F.col("doc_id") % 11).cast("string"),
+                F.lit(".example.net/x."),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    ex = docs.select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        F.explode(extract_domains("text")).alias("domain"),
+    )
+    return ex.groupBy("domain").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+        round6(F.avg("q")).alias("avg_quality"),
+    )
 
 
 def q_cms_heavy_hitters(spark, sf_dir):
@@ -1013,6 +1061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": q_simhash_dedup,
     "token_freq": q_token_freq,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "domain_stats": q_domain_stats,
     "value_quantiles": q_value_quantiles,
     "pii_scrub": q_pii_scrub,
     "mixture_sample": q_mixture_sample,
@@ -1851,6 +1900,31 @@ SELECT token, n,
   CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
 FROM counts
 QUALIFY rank <= 20
+""",
+    "domain_stats": f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text
+      || ' See https://w' || CAST(doc_id % 23 AS VARCHAR)
+      || '.example' || CAST(doc_id % 7 AS VARCHAR)
+      || '.org/p/' || CAST(doc_id AS VARCHAR)
+      || ' and http://cdn' || CAST(doc_id % 11 AS VARCHAR)
+      || '.example.net/x.'
+    ELSE text END AS text
+  FROM documents),
+ex AS (
+  SELECT doc_id, {_quality_sql()} AS q,
+    lower(regexp_extract(u, 'https?://([^/:?#]+)', 1)) AS domain
+  FROM (
+    SELECT doc_id, text,
+      unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS u
+    FROM d))
+SELECT domain,
+  count(DISTINCT doc_id) AS n_docs,
+  count(*) AS n_urls,
+  floor(avg(q) * 1000000 + 0.5) / 1000000 AS avg_quality
+FROM ex
+GROUP BY domain
 """,
     "cms_heavy_hitters": f"""
 WITH toks AS (

@@ -113,3 +113,23 @@ def test_mask_pii_plan_stays_jvm(spark):
     df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
     plan = mask_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extract_domains(spark):
+    from raptor_spark.functions.text import extract_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://A.Example.org/p?q=1 and http://b.io, done"),
+            (2, "no links here"),
+            (3, "dup http://x.io/a http://x.io/b https://x.io:8080/c"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["d"]
+        for r in df.select("doc_id", extract_domains("text").alias("d")).collect()
+    }
+    assert rows[1] == ["a.example.org", "b.io,"]  # trailing punct kept (regex parity)
+    assert rows[2] == []
+    assert rows[3] == ["x.io", "x.io", "x.io"]  # port stripped, dups kept

@@ -165,3 +165,25 @@ def test_approx_distinct_bucketed_close_to_exact(spark, transcripts_pair):
         / both["distinct_count"].clip(lower=1)
     )
     assert rel.max() < 0.10
+
+
+def test_long_window_distinct_warns(spark, transcripts_pair):
+    """Exact distinct beyond 24h warns, steering to the bucketed HLL
+    path (the per-row collect_set memory cliff); short windows and
+    mergeable fns stay silent."""
+    import warnings as _w
+
+    sdf, _ = transcripts_pair
+    df = sdf.withColumn("v", F.length("text").cast("double"))
+    h25 = 25 * 3_600_000_000
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        sliding_agg_exact(df, ["conv_id"], "ts", "v", h25, ["distinct_count"])
+        assert any("bucketed" in str(r.message) for r in rec)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        sliding_agg_exact(df, ["conv_id"], "ts", "v", h25, ["sum", "count"])
+        sliding_agg_exact(
+            df, ["conv_id"], "ts", "v", 6 * 3_600_000_000, ["distinct_count"]
+        )
+        assert not rec

@@ -90,8 +90,19 @@ def main() -> None:
             )
 
         def repetition(d):
-            rep, top = repetition_stats("text")
-            return d.repartition(64).select("doc_id", rep.alias("r"), top.alias("t"))
+            from raptor_spark.functions.text import repetition_stats_from_tokens
+
+            staged = d.repartition(64).select(
+                "doc_id",
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                    ),
+                    " ",
+                ).alias("_toks"),
+            )
+            rep, top = repetition_stats_from_tokens(F.col("_toks"))
+            return staged.select("doc_id", rep.alias("r"), top.alias("t"))
 
         def pack(d):
             from raptor_spark.functions.packing import pack_sequences

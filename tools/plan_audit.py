@@ -98,12 +98,29 @@ NOTES = {
         "CPU-heavy per-row shingling: explicit repartition(parallelism) "
         "spreads rows before the transform (a single parquet split "
         "would otherwise serialize the whole corpus through one task; "
-        "AQE coalesces small-bytes exchanges, so the N is explicit)."
+        "AQE coalesces small-bytes exchanges, so the N is explicit). "
+        "Token split staged before the shingle lambda (2x at sf0.1; "
+        "see decontaminate note)."
     ),
     "doc_chunks": (
         "Context-window chunking: sequence + substr inside transform, "
         "explode is the only fan-out — ZERO shuffles, embarrassingly "
         "parallel at any corpus size."
+    ),
+    "cms_heavy_hitters": (
+        "CMS build: the d-cell explode collapses via map-side combine "
+        "to <= d*width partial rows per partition before the ONE "
+        "aggregate shuffle; the finished sketch broadcasts for the "
+        "estimate join (no corpus re-shuffle). Exact counts for the "
+        "comparison column are the only vocabulary-wide shuffle — at "
+        "100 TB you carry the sketch INSTEAD of that groupBy."
+    ),
+    "value_quantiles": (
+        "Exact grouped percentiles: sort-based percentile aggregate "
+        "with partial aggregation — one shuffle on the group key; "
+        "|event_type| groups bound the final state. For "
+        "high-cardinality groups at 100 TB, swap to approx_percentile "
+        "(t-digest partials) — same plan shape."
     ),
     "pack_sequences": (
         "Two-level distributed prefix sum: arithmetic block assignment "
@@ -119,7 +136,11 @@ NOTES = {
         "— a 100 TB corpus is one scan + map-side hash join; the only "
         "shuffle is the (doc, probe) collision count over rows that "
         "actually collided. 60-bit md5 longs keep the broadcast and "
-        "shuffle keys at 8 bytes."
+        "shuffle keys at 8 bytes. The token split is STAGED in its "
+        "own select before the shingle transform — a lambda-embedded "
+        "split(norm(text)) re-evaluates per element (O(positions x "
+        "text_len) per doc); staging it took this query 21.1 s -> "
+        "1.6 s at sf0.1 (13x), bit-identical output."
     ),
     "clean_corpus": (
         "Composed cleaning pipeline: quality/token/lang filters are "
