@@ -698,3 +698,43 @@ def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
     for c in acc[1:]:
         out = out + c
     return out
+
+
+def verify_pairs_edit_distance(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Verification stage for LSH CANDIDATE pairs: exact edit-distance
+    similarity on the normalized texts. MinHash/SimHash/containment
+    emit candidates with false positives; the standard pipeline shape
+    is candidates -> verify -> dedup decision, and this is the verify.
+
+    ``sim = 1 - levenshtein(a, b) / greatest(len(a), len(b))`` in
+    [0, 1] (1.0 = identical; two empty docs are identical). Adds
+    ``lev`` (int) and ``sim6`` (round6) to the pair rows.
+
+    Scale: Levenshtein is O(len_a * len_b) per pair — NEVER run it
+    all-pairs; feed it the (bounded, banded) LSH candidates only. The
+    two doc-text lookups are plain equi-joins on the doc id: at 100 TB
+    the pair side is small relative to the corpus, so AQE broadcasts
+    it into each lookup and the corpus never shuffles.
+    """
+    a = docs.select(
+        F.col(id_col).alias("id_a"), _norm(F.col(text_col)).alias("_ta")
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"), _norm(F.col(text_col)).alias("_tb")
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    lev = F.levenshtein("_ta", "_tb")
+    denom = F.greatest(F.length("_ta"), F.length("_tb"))
+    sim = F.when(denom > 0, F.lit(1.0) - lev.cast("double") / denom).otherwise(
+        F.lit(1.0)
+    )
+    return joined.select(
+        *[c for c in pairs.columns],
+        lev.alias("lev"),
+        round6(sim).alias("sim6"),
+    )

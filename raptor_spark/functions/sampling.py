@@ -78,6 +78,47 @@ def sample_mixture(
     )
 
 
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Mapping[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a
+    ``split`` label by hash bucket against cumulative thresholds in
+    ``splits`` insertion order (e.g. ``{"train": .8, "val": .1,
+    "test": .1}``). Weights must sum to 1 (±1/RESOLUTION).
+
+    Because the bucket is a pure function of ``id_col``, the split is
+    stable under re-runs, retries, and corpus growth (a new row lands
+    in its split without moving any existing row) — the property a
+    100 TB training corpus needs so val/test never leak into train
+    across pipeline versions. Key it on the LEAKAGE UNIT (conv_id /
+    source document id, not chunk id) so derived rows of one origin
+    stay in one split. Map-only; zero shuffle.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1.0 / RESOLUTION:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(r < 0 for r in splits.values()):
+        raise ValueError("split weights must be non-negative")
+    b = hash_bucket(F.col(id_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        t = int(round(acc * RESOLUTION))
+        expr = (
+            F.when(b < t, F.lit(name))
+            if expr is None
+            else expr.when(b < t, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", out)
+
+
 def shuffle_order(key: Column, salt: str = "shuffle") -> Column:
     """Deterministic global-shuffle sort key (training-example order
     randomization without rand()): orderBy(shuffle_order(id)) gives a

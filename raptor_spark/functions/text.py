@@ -304,3 +304,73 @@ def extract_domains(text: Column | str) -> Column:
         F.regexp_extract_all(t, F.lit(URL_RE), 0),
         lambda u: F.lower(F.regexp_extract(u, DOMAIN_RE, 1)),
     )
+
+
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def unigram_logprob(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant: int = 1_000_000,
+):
+    """Corpus-trained unigram LM quality score (the CCNet-style
+    perplexity filter, with the corpus itself as the LM): per document,
+    the mean token surprisal ``-log2 p(token)`` where ``p`` is the
+    corpus-wide unigram frequency. High mean surprisal = rare/garbled
+    tokens; low = repetitive boilerplate — both standard cut points
+    for pretraining curation.
+
+    Plan shape (holds at 100 TB): tokenize map-side (JVM regex,
+    explode), ONE shuffle to count the vocabulary, the corpus total
+    re-attached via a broadcast of the 1-row aggregate (never a
+    driver collect, never a global window), one equi-join
+    token->count (vocab is Zipf-bounded; AQE broadcasts it when it
+    fits), ONE shuffle for the per-doc sum.
+
+    Determinism: each token's surprisal is integer-quantized to
+    ``1/quant`` bits BEFORE the per-doc sum, so the aggregate is
+    order-independent under any partitioning/retry, and the DuckDB
+    oracle reproduces it bit-for-bit (same trick as kmeans_fit's
+    quantized partial sums).
+
+    Returns one row per document that has >= 1 token:
+    ``(id_col, n_tokens, logprob6)`` with logprob6 = round6(mean bits).
+    Zero-token docs are dropped (no tokens -> no LM score); callers
+    needing them keep a left join on the input.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    total = counts.agg(F.sum("n_t").cast("long").alias("n_total"))
+    bits = -F.log2(
+        F.col("n_t").cast("double") / F.col("n_total").cast("double")
+    )
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(bits * F.lit(float(quant)) + F.lit(0.5))
+        .cast("long")
+        .alias("qbits"),
+    )
+    return (
+        toks.join(scored, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("qbits").alias("_qsum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            round6(
+                F.col("_qsum").cast("double")
+                / F.lit(float(quant))
+                / F.col("n_tokens").cast("double")
+            ).alias("logprob6"),
+        )
+    )

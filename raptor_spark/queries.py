@@ -923,6 +923,126 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     )
 
 
+# ------------------------------------------------ corpus assembly / audit
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) keyed on the
+    doc id via the engine-portable md5 hash bucket — stable under
+    re-runs and corpus growth (the property that keeps val/test from
+    leaking into train across pipeline versions at 100 TB). Map-only,
+    zero shuffle."""
+    from .functions.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def q_profile_docs(spark, sf_dir):
+    """One-pass per-column corpus profile (null rate, exact
+    cardinality, min/max, avg stringified length) in long format — the
+    pre-admission data audit. ONE scan, one aggregate row, unpivoted
+    driver-side into 5 rows."""
+    from .functions.profile import profile_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_columns(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def q_lsh_verify(spark, sf_dir):
+    """Candidates -> verify pipeline: MinHash+LSH candidate pairs
+    verified with exact Levenshtein similarity on normalized text.
+    The edit-distance stage only ever touches the (bounded, banded)
+    candidate set, never all pairs; the two doc-text lookups are
+    equi-joins the small pair side broadcasts into."""
+    from .functions.dedup import verify_pairs_edit_distance
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", k=16, bands=4)
+    return verify_pairs_edit_distance(pairs, docs, "doc_id", "text")
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding table
+    with in-pass reconstruction MSE — storage compression plus its
+    acceptance gate in one map-only pass (zero shuffle at any scale).
+    The int vector is emitted as a CSV string so both engines hash the
+    identical canonical form."""
+    from .functions.embeddings import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb, "vec_id", "embedding", dim=64)
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("q", lambda x: x.cast("string"))
+        ).alias("q_str"),
+        "scale6",
+        "q_sum",
+        "mse6",
+    )
+
+
+def q_embedding_project(spark, sf_dir):
+    """Signed-random-projection (Achlioptas ±1) of dim-64 embeddings
+    down to 8 doubles — the cheap JL transform used before clustering
+    or LSH. Sign matrix is md5-derived plan literals, so the pass is
+    map-only and the oracle replays it bit-for-bit."""
+    from .functions.embeddings import project_signed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return project_signed(
+        emb, "vec_id", "embedding", dim=64, out_dim=8, salt="rp"
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_conv_rollup(spark, sf_dir):
+    """Conversation-level rollup: long turn stream -> one wide row per
+    conversation (user analog) via groupBy().pivot() with an EXPLICIT
+    pivot-value list (no distinct pre-scan — at 100 TB the role/tool
+    vocabulary is config, not discovered). Per activity type: event
+    count, DECIMAL-exact value sum, and max of a JSON-extracted prop
+    (get_json_object — JVM-side path access, no Python). ONE shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.col("value").cast(DEC).alias("v"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    piv = (
+        base.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("v"),
+            F.max("k").alias("kmax"),
+        )
+    )
+    # pivot leaves absent cells NULL; count semantics are 0
+    for t in _EVENT_TYPES:
+        piv = piv.withColumn(f"{t}_n", F.coalesce(F.col(f"{t}_n"), F.lit(0)))
+    return piv
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-self-trained unigram LM surprisal per document (the
+    CCNet-style perplexity quality filter). Vocabulary counted in one
+    shuffle, corpus total broadcast from a 1-row aggregate, per-token
+    bits integer-quantized before the per-doc sum so the result is
+    order-independent and engine-exact."""
+    from .functions.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text")
+
+
 # ----------------------------------------------------------- tpch-style
 
 def q_pricing_summary(spark, sf_dir):
@@ -1078,6 +1198,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "split_assign": q_split_assign,
+    "profile_docs": q_profile_docs,
+    "lsh_verify": q_lsh_verify,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_project": q_embedding_project,
+    "conv_rollup": q_conv_rollup,
+    "unigram_logprob": q_unigram_logprob,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "topk_orders_per_cust": q_topk_orders_per_cust,
@@ -1441,6 +1568,81 @@ def _quality_sql() -> str:
         f"floor((0.4*({alpha}) + 0.3*({lens}) + 0.2*(1.0-({upper}))"
         f" + 0.1*(1.0-least(({punct})*5, 1.0))) * 1000000 + 0.5) / 1000000"
     )
+
+
+def _profile_sql() -> str:
+    """One-aggregate-row profile, unpivoted via UNION ALL — mirrors
+    profile_columns' single-scan shape on the DuckDB side."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = ["count(*) AS n_rows"]
+    selects = []
+    for c in cols:
+        al = sql_round6(f"avg(length(CAST({c} AS VARCHAR)))")
+        aggs += [
+            f"count(CASE WHEN {c} IS NULL THEN 1 END) AS nn_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+            f"CAST(min({c}) AS VARCHAR) AS mn_{c}",
+            f"CAST(max({c}) AS VARCHAR) AS mx_{c}",
+            f"{al} AS al_{c}",
+        ]
+        selects.append(
+            f"SELECT '{c}' AS col_name, n_rows, nn_{c} AS n_null, "
+            f"nd_{c} AS n_distinct, mn_{c} AS min_s, mx_{c} AS max_s, "
+            f"al_{c} AS avg_len6 FROM one"
+        )
+    return (
+        "WITH one AS (SELECT " + ", ".join(aggs) + " FROM documents)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+def _project_sql() -> str:
+    """Replays project_signed: identical ±1 literals from
+    signed_planes, identical left-fold dot product and sqrt(out_dim)
+    divisor (embedded as the same Python-double repr)."""
+    import math
+
+    from .functions.embeddings import signed_planes
+
+    planes = signed_planes(64, 8, "rp")
+    inv = repr(math.sqrt(8.0))
+    cols = []
+    for j, row in enumerate(planes):
+        arr = "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in row) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            "t -> CAST(t[1] AS DOUBLE) * t[2]))"
+        )
+        cols.append(f"{sql_round6(f'({dot}) / {inv}')} AS p{j}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+def _conv_rollup_sql() -> str:
+    """Conditional aggregation — the ANSI twin of groupBy().pivot()."""
+    parts = []
+    for t in _EVENT_TYPES:
+        parts += [
+            f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}_n",
+            f"CAST(sum(CASE WHEN event_type = '{t}' "
+            f"THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS {t}_v",
+            f"max(CASE WHEN event_type = '{t}' "
+            f"THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) "
+            f"AS {t}_kmax",
+        ]
+    return (
+        "SELECT user_id, " + ", ".join(parts) + " FROM events GROUP BY user_id"
+    )
+
+
+_SPLIT_HASH = (
+    "CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    "AS BIGINT) % 1000000"
+)
+
+_LEV_SIM = (
+    "1.0 - CAST(levenshtein(a.norm, b.norm) AS DOUBLE)"
+    " / greatest(length(a.norm), length(b.norm))"
+)
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -2021,6 +2223,65 @@ SELECT query_id, neighbor_id, cos_sim,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
 FROM scored
 QUALIFY rank <= 3
+""",
+    "split_assign": f"""
+SELECT doc_id,
+  CASE WHEN {_SPLIT_HASH} < 800000 THEN 'train'
+       WHEN {_SPLIT_HASH} < 900000 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
+    "profile_docs": _profile_sql(),
+    "lsh_verify": f"""
+WITH pairs AS ({_minhash_sql()}),
+d AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+SELECT p.id_a, p.id_b, p.n_shared_bands,
+  levenshtein(a.norm, b.norm) AS lev,
+  CASE WHEN greatest(length(a.norm), length(b.norm)) > 0
+    THEN {sql_round6(_LEV_SIM)}
+    ELSE 1.0 END AS sim6
+FROM pairs p
+JOIN d a ON p.id_a = a.doc_id
+JOIN d b ON p.id_b = b.doc_id
+""",
+    "embedding_quantize": f"""
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+m AS (SELECT vec_id, v,
+    list_max(list_transform(v, x -> abs(x))) AS maxabs FROM v),
+q AS (SELECT vec_id, v, maxabs,
+    CASE WHEN maxabs > 0
+      THEN list_transform(v,
+           x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INT))
+      ELSE list_transform(v, x -> 0) END AS q
+  FROM m)
+SELECT vec_id,
+  array_to_string(q, ',') AS q_str,
+  {sql_round6('maxabs / 127.0')} AS scale6,
+  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum,
+  CASE WHEN maxabs > 0
+    THEN {sql_round6("list_sum(list_transform(list_zip(v, q), t -> pow(t[1] - CAST(t[2] AS DOUBLE) * maxabs / 127.0, 2.0))) / 64.0")}
+    ELSE 0.0 END AS mse6
+FROM q
+""",
+    "embedding_project": _project_sql(),
+    "conv_rollup": _conv_rollup_sql(),
+    "unigram_logprob": f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+  FROM documents),
+counts AS (SELECT token, count(*) AS n_t FROM toks GROUP BY 1),
+tot AS (SELECT sum(n_t) AS n_total FROM counts),
+scored AS (SELECT token,
+    CAST(floor(-log2(CAST(n_t AS DOUBLE) / CAST(n_total AS DOUBLE))
+         * 1000000 + 0.5) AS BIGINT) AS qbits
+  FROM counts, tot)
+SELECT t.doc_id, count(*) AS n_tokens,
+  {sql_round6('CAST(sum(s.qbits) AS DOUBLE) / 1000000 / count(*)')} AS logprob6
+FROM toks t JOIN scored s ON t.token = s.token
+GROUP BY 1
 """,
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

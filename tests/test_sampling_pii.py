@@ -133,3 +133,40 @@ def test_extract_domains(spark):
     assert rows[1] == ["a.example.org", "b.io,"]  # trailing punct kept (regex parity)
     assert rows[2] == []
     assert rows[3] == ["x.io", "x.io", "x.io"]  # port stripped, dups kept
+
+
+def test_assign_split_partition_and_proportions(spark):
+    from raptor_spark.functions.sampling import assign_split
+
+    df = _ids(spark, 5000)
+    out = assign_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000  # total partition, no drops
+    assert 0.8 * 5000 * 0.9 < counts["train"] < 0.8 * 5000 * 1.1
+    assert 0.1 * 5000 * 0.6 < counts["val"] < 0.1 * 5000 * 1.4
+    assert 0.1 * 5000 * 0.6 < counts["test"] < 0.1 * 5000 * 1.4
+
+
+def test_assign_split_stable_under_growth(spark):
+    """Corpus growth never moves an existing row between splits — the
+    leakage guarantee across pipeline versions."""
+    from raptor_spark.functions.sampling import assign_split
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = {r["doc_id"]: r["split"] for r in
+             assign_split(_ids(spark, 1000), "doc_id", splits).collect()}
+    big = {r["doc_id"]: r["split"] for r in
+           assign_split(_ids(spark, 3000), "doc_id", splits).collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_assign_split_validation_and_degenerate(spark):
+    from raptor_spark.functions.sampling import assign_split
+
+    with pytest.raises(ValueError):
+        assign_split(None, "doc_id", {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError):
+        assign_split(None, "doc_id", {"train": 1.2, "val": -0.2})
+    out = assign_split(_ids(spark, 100), "doc_id", {"train": 1.0})
+    assert out.filter(F.col("split") != "train").count() == 0
