@@ -75,6 +75,14 @@ HEADLINE = [
     "topk_orders_per_cust", # window top-k
     "shipping_priority",    # TPC-H Q3-style 3-way join + top-10
     "cust_without_orders",  # left-anti join (NOT EXISTS)
+    "split_assign",         # deterministic train/val/test hash split
+    "profile_docs",         # one-pass per-column corpus profile
+    "lsh_verify",           # LSH candidates -> exact edit-distance verify
+    "embedding_quantize",   # int8 quantization + reconstruction MSE
+    "embedding_project",    # signed random projection (JL transform)
+    "conv_rollup",          # pivot rollup + JSON prop extraction
+    "unigram_logprob",      # corpus-self-trained unigram LM filter
+    "bm25_search",          # BM25 top-k lexical retrieval
 ]
 
 

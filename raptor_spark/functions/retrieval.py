@@ -1,0 +1,167 @@
+"""Lexical retrieval over the corpus: BM25 scoring / top-k search.
+
+The standard "find the k most relevant documents for a term query"
+primitive a training-data pipeline uses for targeted curation (pull
+domain-relevant docs into a mix), decontamination triage, and eval-set
+construction.
+
+Plan shape (holds at 100 TB): tokens never leave the map side except
+through two aggregates — per-doc length (ONE shuffle over doc_id) and
+per-(doc, term) term frequency computed on rows pre-filtered to the
+query terms (Catalyst pushes `token IN (...)` into the projection, so
+at 10^12 tokens only matching ones shuffle). Corpus stats (N, avgdl)
+ride a broadcast 1-row aggregate; document frequencies per query term
+are a <= |terms|-row broadcast. Final top-k is orderBy+limit =
+TakeOrderedAndProject (per-partition heaps, no global sort).
+
+Determinism: per-term BM25 contributions are integer-quantized
+(micro-units) before the per-doc sum, so the score is independent of
+partitioning/execution order and the DuckDB oracle reproduces it
+bit-for-bit (same trick as text.unigram_logprob). All double
+constants are rendered into the oracle SQL via ``repr`` so both
+engines parse the identical values.
+
+No reference analog (raptor has no retrieval op) — training-pipeline
+extension per the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F, Window as W
+
+from .rounding import round6
+from .text import TOKEN_RE
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for a bag of query ``terms``
+    (Lucene-style idf ``ln(1 + (N - df + 0.5) / (df + 0.5))``).
+    Returns ``(id_col, score6, rank)``; ties broken by lowest id.
+    Repeated query terms are deduplicated (bag-of-words query).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    terms = sorted(set(terms))
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    # per-doc length over ALL tokens (BM25 length normalization)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    # term frequencies for QUERY TERMS ONLY — the isin filter runs in
+    # the scan/explode stage, so non-matching tokens never shuffle
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df_t")).cast("double") + F.lit(0.5))
+        / (F.col("df_t").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    score_t = (
+        idf
+        * (tfd * F.lit(k1 + 1.0))
+        / (tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dld / avgdl))
+    )
+    qsum = (
+        scored.select(
+            id_col,
+            F.floor(score_t * F.lit(float(quant)) + F.lit(0.5))
+            .cast("long")
+            .alias("qs"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("qs").alias("_qsum"))
+    )
+    top = (
+        qsum.select(
+            id_col,
+            round6(
+                F.col("_qsum").cast("double") / F.lit(float(quant))
+            ).alias("score6"),
+        )
+        .orderBy(F.col("score6").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = W.orderBy(F.col("score6").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bm25_sql(
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quant: int = 1_000_000,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    token_re: str = TOKEN_RE,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical op order, the
+    double constants rendered via ``repr`` of the same Python values."""
+    terms = sorted(set(terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    k1p1, k1r, br = repr(k1 + 1.0), repr(k1), repr(b)
+    q = float(quant)
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+    unnest(regexp_extract_all(lower(text), '{token_re}')) AS token
+  FROM {table}),
+dl AS (SELECT {id_col}, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (SELECT {id_col}, token, count(*) AS tf FROM toks
+       WHERE token IN ({in_list}) GROUP BY 1, 2),
+df_t AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.{id_col},
+    CAST(floor(
+      ln(1.0 + ((CAST(s.n_docs - d.df_t AS DOUBLE) + 0.5)
+                / (CAST(d.df_t AS DOUBLE) + 0.5)))
+      * (CAST(t.tf AS DOUBLE) * CAST({k1p1} AS DOUBLE))
+      / (CAST(t.tf AS DOUBLE) + CAST({k1r} AS DOUBLE)
+         * (1.0 - CAST({br} AS DOUBLE) + CAST({br} AS DOUBLE)
+            * CAST(l.dl AS DOUBLE)
+            / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+      * {q!r} + 0.5) AS BIGINT) AS qs
+  FROM tf t JOIN df_t d ON t.token = d.token
+  JOIN dl l ON t.{id_col} = l.{id_col}, stats s),
+qsum AS (SELECT {id_col}, CAST(sum(qs) AS BIGINT) AS qsum
+         FROM scored GROUP BY 1),
+top AS (
+  SELECT {id_col},
+    floor((CAST(qsum AS DOUBLE) / {q!r}) * 1000000 + 0.5) / 1000000
+      AS score6
+  FROM qsum
+  ORDER BY score6 DESC, {id_col} LIMIT {k})
+SELECT {id_col}, score6,
+  CAST(row_number() OVER (ORDER BY score6 DESC, {id_col}) AS INT) AS rank
+FROM top
+"""

@@ -1031,6 +1031,20 @@ def q_conv_rollup(spark, sf_dir):
     return piv
 
 
+_BM25_TERMS = ["spark", "window", "vector"]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 lexical retrieval for a 3-term query — targeted
+    curation / eval-set pull over the corpus. Per-term contributions
+    integer-quantized before the per-doc sum (order-independent);
+    top-k via orderBy+limit (TakeOrderedAndProject, no global sort)."""
+    from .functions.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-self-trained unigram LM surprisal per document (the
     CCNet-style perplexity quality filter). Vocabulary counted in one
@@ -1205,6 +1219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_project": q_embedding_project,
     "conv_rollup": q_conv_rollup,
     "unigram_logprob": q_unigram_logprob,
+    "bm25_search": q_bm25_search,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "topk_orders_per_cust": q_topk_orders_per_cust,
@@ -1615,6 +1630,9 @@ def _project_sql() -> str:
         )
         cols.append(f"{sql_round6(f'({dot}) / {inv}')} AS p{j}")
     return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+from .functions.retrieval import bm25_sql as _bm25_sql  # noqa: E402
 
 
 def _conv_rollup_sql() -> str:
@@ -2267,6 +2285,7 @@ FROM q
 """,
     "embedding_project": _project_sql(),
     "conv_rollup": _conv_rollup_sql(),
+    "bm25_search": _bm25_sql(_BM25_TERMS, k=10),
     "unigram_logprob": f"""
 WITH toks AS (
   SELECT doc_id,

@@ -1,0 +1,87 @@
+"""BM25 retrieval (functions/retrieval.py) unit tests. No reference
+analog — training-pipeline extension; the bm25_search oracle row pins
+cross-engine parity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from raptor_spark.functions.retrieval import bm25_topk
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark spark spark window"),     # heavy on 'spark'
+        (2, "window window table"),
+        (3, "table row filter batch merge"),  # no query terms
+        (4, "spark window"),
+        (5, "spark table table table table table table table"),  # long doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25_ref(corpus, terms, k1=1.2, b=0.75, quant=1_000_000):
+    """Plain-Python reference (same quantization)."""
+    toks = {d: t.split() for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for d, tok in toks.items():
+        qs = 0
+        for t in set(terms):
+            tf = tok.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(tok) / avgdl)
+            )
+            qs += math.floor(s * quant + 0.5)
+        if qs:
+            scores[d] = math.floor((qs / quant) * 1e6 + 0.5) / 1e6
+    return scores
+
+
+def test_bm25_matches_python_reference(spark):
+    corpus = [
+        (1, "spark spark spark window"),
+        (2, "window window table"),
+        (3, "table row filter batch merge"),
+        (4, "spark window"),
+        (5, "spark table table table table table table table"),
+    ]
+    got = {r["doc_id"]: r["score6"] for r in
+           bm25_topk(_docs(spark), ["spark", "window"], k=10).collect()}
+    want = _bm25_ref(corpus, ["spark", "window"])
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_bm25_ranking_properties(spark):
+    out = bm25_topk(_docs(spark), ["spark", "window"], k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids  # doc without query terms never scores
+    # doc 1 (tf=3 'spark' + 'window', short) must beat doc 5 (tf=1, long)
+    assert ids[0] == 1
+    scores = [r["score6"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_dedups_terms_and_validates(spark):
+    a = bm25_topk(_docs(spark), ["spark", "spark"], k=5).collect()
+    c = bm25_topk(_docs(spark), ["spark"], k=5).collect()
+    assert a == c  # bag-of-words query: repeated term counted once
+    with pytest.raises(ValueError):
+        bm25_topk(_docs(spark), [], k=5)
+
+
+def test_bm25_plan_topk_no_global_sort(spark):
+    plan = (
+        bm25_topk(_docs(spark), ["spark"], k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -154,6 +154,37 @@ NOTES = {
         "shuffle + sort — O(n log n per key) vs a range join's "
         "O(spine x history)."
     ),
+    "unigram_logprob": (
+        "Corpus-self-trained unigram LM filter: tokenize map-side, "
+        "ONE shuffle counts the vocabulary, the corpus total comes "
+        "back via a broadcast of the 1-row aggregate (the only "
+        "single-partition exchange — it receives one pre-reduced "
+        "partial per partition, never rows), token->surprisal join "
+        "(AQE broadcasts the Zipf-bounded vocab when it fits), ONE "
+        "shuffle for the per-doc sum. Surprisal is integer-quantized "
+        "pre-sum, so the aggregate is order/partitioning-independent."
+    ),
+    "conv_rollup": (
+        "groupBy().pivot() with an EXPLICIT pivot-value list — no "
+        "distinct pre-scan job (at 10^12 turns the role/tool "
+        "vocabulary is config, not discovered). JSON prop extraction "
+        "is get_json_object in the scan projection; the pivot is ONE "
+        "hash shuffle with map-side partials per (key x type) cell."
+    ),
+    "lsh_verify": (
+        "Candidates -> verify: O(len^2) Levenshtein runs ONLY on the "
+        "banded, capped LSH candidate pairs. The two doc-text lookups "
+        "are equi-joins where the small pair side broadcasts (AQE), "
+        "so the corpus is scanned once per side and never shuffled."
+    ),
+    "embedding_quantize": (
+        "Map-only: per-vector int8 quantization + reconstruction MSE "
+        "as Catalyst higher-order functions (transform/zip_with/"
+        "aggregate), zero shuffle at any scale; maxabs is staged in "
+        "its own projection so it is not re-evaluated per element. "
+        "split_assign / embedding_project share this shape (pure "
+        "map-side hash / literal-matrix projections)."
+    ),
 }
 
 
