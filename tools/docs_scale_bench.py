@@ -114,6 +114,30 @@ def main() -> None:
                 toks, "doc_id", "n_tokens", seq_len=2048, n_blocks=256
             )
 
+        def _unigram(d):
+            from raptor_spark.functions.text import unigram_logprob
+
+            return unigram_logprob(d, "doc_id", "text")
+
+        def _bm25(d):
+            from raptor_spark.functions.retrieval import bm25_topk
+
+            return bm25_topk(d, ["spark", "window", "vector"], k=10)
+
+        def _lsh_verify(d):
+            # the 40x replication makes every doc a 40-clique (7.7M
+            # candidate pairs — a density no real corpus has); verify
+            # a deterministic 1% slice so the measured stage is the
+            # realistic candidates:corpus ratio
+            from raptor_spark.functions.dedup import (
+                verify_pairs_edit_distance,
+            )
+
+            pairs = minhash_lsh_pairs(d, "doc_id").filter(
+                (F.col("id_a") % 100 == 0)
+            )
+            return verify_pairs_edit_distance(pairs, d, "doc_id", "text")
+
         OPS = {
             "exact_dedup": lambda d: exact_dedup(d, "doc_id"),
             "pack_sequences": pack,
@@ -127,6 +151,9 @@ def main() -> None:
                 n=8,
                 threshold=0.5,
             ),
+            "unigram_logprob": _unigram,
+            "bm25_search": _bm25,
+            "lsh_verify": _lsh_verify,
         }
 
         def force(out):
