@@ -83,6 +83,8 @@ HEADLINE = [
     "conv_rollup",          # pivot rollup + JSON prop extraction
     "unigram_logprob",      # corpus-self-trained unigram LM filter
     "bm25_search",          # BM25 top-k lexical retrieval
+    "boilerplate_scrub",    # cross-doc segment dedup (line-dedup analog)
+    "fuzzy_dedup",          # end-to-end LSH -> CC -> keep-rep filter
 ]
 
 

@@ -743,3 +743,54 @@ def verify_pairs_edit_distance(
         lev.alias("lev"),
         round6(sim).alias("sim6"),
     )
+
+
+def fuzzy_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """END-TO-END fuzzy dedup — the pass a pretraining pipeline
+    actually ships: MinHash-LSH candidate pairs → connected components
+    → keep ONE representative (min id) per duplicate cluster, plus
+    every unclustered doc. Composes ``minhash_lsh_pairs`` and
+    ``connected_components`` (each independently oracle-gated) into
+    the corpus filter.
+
+    Plan shape (100 TB): the pair+CC stages operate on the candidate
+    subgraph only (LSH-bucketed, banded, capped — never all-pairs);
+    the final filter is a LEFT ANTI join of the corpus against the
+    non-representative ids — the duplicate set, a small fraction of
+    the corpus — which AQE broadcasts, so the full corpus is ONE scan
+    with a map-side anti probe, and a left join against per-rep
+    cluster sizes (same small side) annotates survivors.
+
+    Returns one row per SURVIVING document:
+    ``(id_col, cluster_size)`` — cluster_size = number of input docs
+    this survivor stands for (1 for docs with no near-dup).
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col=text_col, k=k, bands=bands)
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("id") != F.col("cluster_rep")).select(
+        F.col("id").alias(id_col)
+    )
+    sizes = cc.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        df.select(id_col)
+        .join(F.broadcast(losers), id_col, "left_anti")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("cluster_rep", id_col)),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+        )
+    )

@@ -374,3 +374,98 @@ def unigram_logprob(
             ).alias("logprob6"),
         )
     )
+
+
+def remove_boilerplate_segments(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+    max_docs: int = 2,
+):
+    """Cross-document boilerplate removal — the line-dedup pass of
+    CCNet/RefinedWeb-style curation, generalized to fixed-width token
+    segments for corpora without line structure: each document is cut
+    into non-overlapping ``seg_tokens``-token segments; a segment
+    occurring in more than ``max_docs`` DISTINCT documents (nav bars,
+    license headers, templated spans) is dropped from EVERY document,
+    and the survivors are stitched back in order.
+
+    Plan shape (holds at 100 TB): tokenize + segment map-side (JVM
+    split + slice inside ``transform``, one explode — no shuffle),
+    ONE shuffle to count distinct docs per segment (partial-agg
+    combined), and the boilerplate set — Zipf-small, it's the >N-doc
+    tail — comes back as a **broadcast left join**, so the
+    corpus-sized side never shuffles for the membership test; ONE
+    final shuffle regroups surviving segments per doc. Reassembly is
+    ``array_sort`` on (seg_idx, seg) structs inside the aggregate —
+    deterministic under any partitioning, no window, no skew pivot
+    (seg_idx is unique per doc).
+
+    Returns one row per input document:
+    ``(id_col, n_segments, n_removed, clean_text)`` — a fully
+    boilerplate document survives with ``clean_text = ''`` so callers
+    can count casualties instead of silently losing rows.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col),
+        F.split(
+            F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " "
+        ).alias("_toks"),
+    )
+    # split('', ' ') == [''] so size >= 1 and the sequence below is
+    # never descending (Spark's sequence(0, -1) would yield [0, -1])
+    n_seg = F.ceil(F.size("_toks") / F.lit(float(seg_tokens))).cast("int")
+    segs = staged.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("seg_idx"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            "_toks",
+                            (i * seg_tokens + 1).cast("int"),
+                            F.lit(seg_tokens),
+                        ),
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(
+        id_col,
+        F.col("_s.seg_idx").alias("seg_idx"),
+        F.col("_s.seg").alias("seg"),
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") > max_docs)
+        .select("seg", F.lit(True).alias("_boiler"))
+    )
+    flagged = segs.join(F.broadcast(boiler), "seg", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.coalesce(
+            F.sum(F.when(F.col("_boiler"), F.lit(1))), F.lit(0)
+        ).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                # collect_list skips NULLs: boilerplate segments simply
+                # never enter the array
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_boiler").isNull(),
+                            F.struct(F.col("seg_idx"), F.col("seg")),
+                        )
+                    )
+                ),
+                lambda s: s.seg,
+            ),
+        ).alias("clean_text"),
+    )

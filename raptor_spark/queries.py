@@ -642,6 +642,31 @@ def q_clean_corpus(spark, sf_dir):
     )
 
 
+def q_boilerplate_scrub(spark, sf_dir):
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb
+    line-dedup pass, token-segment form): 3-token segments occurring
+    in >2 distinct docs are scrubbed from every doc, survivors
+    reassembled in order. Segmenting is map-side, the boilerplate set
+    is a broadcast left join, reassembly is array_sort inside the
+    aggregate — two shuffles total, no window."""
+    from .functions.text import remove_boilerplate_segments
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(docs, seg_tokens=3, max_docs=2)
+
+
+def q_fuzzy_dedup(spark, sf_dir):
+    """End-to-end fuzzy dedup — MinHash-LSH pairs → connected
+    components → one surviving representative per near-dup cluster
+    (plus all unclustered docs), annotated with the cluster size it
+    stands for. The corpus-side filter is a broadcast LEFT ANTI join
+    against the (small) duplicate-id set."""
+    from .functions.dedup import fuzzy_dedup_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_dedup_corpus(docs, "doc_id", k=16, bands=4)
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking: 500-char chunks with 100-char overlap
     per document (the LLM-training segmentation step) — sequence +
@@ -1201,6 +1226,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "decontaminate": q_decontaminate,
     "clean_corpus": q_clean_corpus,
+    "boilerplate_scrub": q_boilerplate_scrub,
+    "fuzzy_dedup": q_fuzzy_dedup,
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
     "repetition": q_repetition,
@@ -1357,6 +1384,51 @@ walk(src, label) AS (
   SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.src
 )
 SELECT src AS doc_id, min(label) AS cluster_rep FROM walk GROUP BY 1
+"""
+
+
+def _boilerplate_scrub_sql(seg_tokens: int = 3, max_docs: int = 2) -> str:
+    """Token-segment boilerplate removal mirroring
+    functions.text.remove_boilerplate_segments: same normalization,
+    same non-overlapping slice bounds (1-based inclusive in both
+    engines), same >max_docs distinct-doc cut."""
+    st = seg_tokens
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                          '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[i*{st}+1 : i*{st}+{st}], ' ') AS seg
+  FROM toks, UNNEST(range(CAST(ceil(len(t)/{st}.0) AS BIGINT))) AS u(i)
+), boiler AS (
+  SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > {max_docs}
+)
+SELECT s.doc_id,
+       count(*) AS n_segments,
+       CAST(coalesce(sum(CASE WHEN b.seg IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END, ' '
+                           ORDER BY s.seg_idx), '') AS clean_text
+FROM segs s LEFT JOIN boiler b USING (seg)
+GROUP BY s.doc_id
+"""
+
+
+def _fuzzy_dedup_sql() -> str:
+    """Survivor set of the end-to-end fuzzy dedup: the dup_clusters
+    closure, minus non-representative members, sized per cluster."""
+    return f"""
+WITH cc AS ({_dup_clusters_sql()}),
+losers AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_rep),
+sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM cc GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM documents d
+LEFT JOIN sizes s ON d.doc_id = s.cluster_rep
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
@@ -2079,6 +2151,8 @@ WHERE {_MIX_HASH} < CASE stratum
 """,
     "minhash_lsh": _minhash_sql(),
     "dup_clusters": _dup_clusters_sql(),
+    "boilerplate_scrub": _boilerplate_scrub_sql(),
+    "fuzzy_dedup": _fuzzy_dedup_sql(),
     "simhash_dedup": _simhash_sql(),
     "containment": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
