@@ -85,6 +85,7 @@ HEADLINE = [
     "bm25_search",          # BM25 top-k lexical retrieval
     "boilerplate_scrub",    # cross-doc segment dedup (line-dedup analog)
     "fuzzy_dedup",          # end-to-end LSH -> CC -> keep-rep filter
+    "semantic_dedup",       # SemDeDup: embedding CC -> keep-rep filter
 ]
 
 

@@ -745,33 +745,26 @@ def verify_pairs_edit_distance(
     )
 
 
-def fuzzy_dedup_corpus(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 16,
-    bands: int = 4,
+def keep_cluster_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:
-    """END-TO-END fuzzy dedup — the pass a pretraining pipeline
-    actually ships: MinHash-LSH candidate pairs → connected components
-    → keep ONE representative (min id) per duplicate cluster, plus
-    every unclustered doc. Composes ``minhash_lsh_pairs`` and
-    ``connected_components`` (each independently oracle-gated) into
-    the corpus filter.
+    """Corpus filter from duplicate-candidate pairs: connected
+    components over ``pairs`` (id_a, id_b), then keep ONE
+    representative (min id) per cluster plus every unclustered row.
 
-    Plan shape (100 TB): the pair+CC stages operate on the candidate
-    subgraph only (LSH-bucketed, banded, capped — never all-pairs);
-    the final filter is a LEFT ANTI join of the corpus against the
-    non-representative ids — the duplicate set, a small fraction of
-    the corpus — which AQE broadcasts, so the full corpus is ONE scan
-    with a map-side anti probe, and a left join against per-rep
-    cluster sizes (same small side) annotates survivors.
+    Plan shape (100 TB): the CC stages touch only the candidate
+    subgraph (a small fraction of the corpus); the corpus-side filter
+    is a **broadcast LEFT ANTI join** against the non-representative
+    ids and a broadcast left join against per-rep cluster sizes — the
+    full corpus is ONE scan with map-side probes, no corpus shuffle.
+    The CC result is localCheckpoint'ed inside
+    ``connected_components``, so its double use (losers + sizes) costs
+    nothing extra.
 
-    Returns one row per SURVIVING document:
-    ``(id_col, cluster_size)`` — cluster_size = number of input docs
-    this survivor stands for (1 for docs with no near-dup).
+    Returns one row per SURVIVING input row: ``(id_col,
+    cluster_size)`` — cluster_size = number of input rows this
+    survivor stands for (1 when it had no duplicate).
     """
-    pairs = minhash_lsh_pairs(df, id_col, text_col=text_col, k=k, bands=bands)
     cc = connected_components(pairs)
     losers = cc.filter(F.col("id") != F.col("cluster_rep")).select(
         F.col("id").alias(id_col)
@@ -794,3 +787,23 @@ def fuzzy_dedup_corpus(
             .alias("cluster_size"),
         )
     )
+
+
+def fuzzy_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """END-TO-END fuzzy dedup — the pass a pretraining pipeline
+    actually ships: MinHash-LSH candidate pairs → connected components
+    → keep ONE representative (min id) per duplicate cluster, plus
+    every unclustered doc. Composes ``minhash_lsh_pairs`` and
+    ``keep_cluster_representatives`` (each stage independently
+    oracle-gated); see the latter for the 100 TB plan shape.
+
+    Returns one row per SURVIVING document: ``(id_col, cluster_size)``.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col=text_col, k=k, bands=bands)
+    return keep_cluster_representatives(df, pairs, id_col)

@@ -440,3 +440,41 @@ def lsh_bucket_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup_corpus(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int | None = 8,
+    n_plane_sets: int = 1,
+    max_bucket: int = 0,
+) -> DataFrame:
+    """END-TO-END semantic dedup (the SemDeDup pass): embedding-cosine
+    near-dup pairs (LSH-blocked, never all-pairs) → connected
+    components → keep ONE representative (min id) per semantic
+    cluster plus every unclustered vector. Catches paraphrases and
+    re-encodings that string-level MinHash misses; composes
+    ``embedding_neardup_pairs`` with
+    ``dedup.keep_cluster_representatives`` (each stage independently
+    oracle-gated; see those for the 100 TB plan shape and the
+    n_planes / plane-set / bucket-cap scale levers — ``n_planes=None``
+    auto-sizes from corpus cardinality).
+
+    Returns one row per SURVIVING vector: ``(id_col, cluster_size)``.
+    """
+    from .dedup import keep_cluster_representatives
+
+    pairs = embedding_neardup_pairs(
+        df,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_plane_sets=n_plane_sets,
+        max_bucket=max_bucket,
+    )
+    return keep_cluster_representatives(df, pairs, id_col)

@@ -902,6 +902,18 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(emb, dim=64, threshold=0.3)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """End-to-end semantic dedup (SemDeDup): embedding-cosine near-dup
+    pairs (LSH-blocked) → connected components → one surviving
+    representative per semantic cluster, with the cluster size it
+    stands for. Same demo threshold as embedding_neardup (synthetic
+    vectors have no true near-dups; production uses 0.9+)."""
+    from .functions.similarity import semantic_dedup_corpus
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_corpus(emb, dim=64, threshold=0.3)
+
+
 def q_ann_lsh(spark, sf_dir):
     """Approximate top-3 neighbors via random-hyperplane LSH buckets
     (8 planes, 3 one-bit probes) for query vectors vec_id < 5."""
@@ -1236,6 +1248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_dedup": q_semantic_dedup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -1366,12 +1379,13 @@ GROUP BY 1, 2
 """
 
 
-def _dup_clusters_sql() -> str:
-    """Connected components via recursive transitive closure (tiny
-    near-dup components make the closure cheap)."""
+def _cc_closure_sql(pairs_sql: str) -> str:
+    """Connected components via recursive transitive closure over an
+    arbitrary (id_a, id_b) pair query (tiny near-dup components make
+    the closure cheap). Yields (id, cluster_rep = min id)."""
     return f"""
 WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({_minhash_sql()}) t
+  SELECT id_a, id_b FROM ({pairs_sql}) t
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1383,7 +1397,30 @@ walk(src, label) AS (
   UNION
   SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.src
 )
-SELECT src AS doc_id, min(label) AS cluster_rep FROM walk GROUP BY 1
+SELECT src AS id, min(label) AS cluster_rep FROM walk GROUP BY 1
+"""
+
+
+def _dup_clusters_sql() -> str:
+    return (
+        f"SELECT id AS doc_id, cluster_rep "
+        f"FROM ({_cc_closure_sql(_minhash_sql())}) c"
+    )
+
+
+def _keep_reps_sql(pairs_sql: str, table: str, id_col: str) -> str:
+    """Survivor set of an end-to-end dedup pass: the CC closure over
+    ``pairs_sql``, minus non-representative members, sized per
+    cluster — mirrors dedup.keep_cluster_representatives."""
+    return f"""
+WITH cc AS ({_cc_closure_sql(pairs_sql)}),
+losers AS (SELECT id FROM cc WHERE id <> cluster_rep),
+sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM cc GROUP BY 1)
+SELECT d.{id_col},
+       CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM {table} d
+LEFT JOIN sizes s ON d.{id_col} = s.cluster_rep
+WHERE d.{id_col} NOT IN (SELECT id FROM losers)
 """
 
 
@@ -1418,18 +1455,11 @@ GROUP BY s.doc_id
 
 
 def _fuzzy_dedup_sql() -> str:
-    """Survivor set of the end-to-end fuzzy dedup: the dup_clusters
-    closure, minus non-representative members, sized per cluster."""
-    return f"""
-WITH cc AS ({_dup_clusters_sql()}),
-losers AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_rep),
-sizes AS (SELECT cluster_rep, count(*) AS cluster_size FROM cc GROUP BY 1)
-SELECT d.doc_id,
-       CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size
-FROM documents d
-LEFT JOIN sizes s ON d.doc_id = s.cluster_rep
-WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
-"""
+    return _keep_reps_sql(_minhash_sql(), "documents", "doc_id")
+
+
+def _semantic_dedup_sql() -> str:
+    return _keep_reps_sql(_embedding_neardup_sql(), "embeddings", "vec_id")
 
 
 def _simhash_sql() -> str:
@@ -2278,6 +2308,7 @@ SELECT media_id,
 FROM f
 """,
     "embedding_neardup": _embedding_neardup_sql(),
+    "semantic_dedup": _semantic_dedup_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ann_ivf_sql(),
     "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),

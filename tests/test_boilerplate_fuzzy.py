@@ -118,6 +118,29 @@ class TestFuzzyDedup:
         }
         assert out == {1: 1, 2: 1}
 
+    def test_semantic_dedup_collapses_parallel_vectors(self, spark):
+        from raptor_spark.functions.similarity import semantic_dedup_corpus
+
+        # 1, 2, 3 are scalar multiples (cos = 1.0); 10, 11 are
+        # orthogonal to them and to each other
+        rows = [
+            (1, [1.0, 2.0, 0.0, 0.0]),
+            (2, [2.0, 4.0, 0.0, 0.0]),
+            (3, [0.5, 1.0, 0.0, 0.0]),
+            (10, [0.0, 0.0, 3.0, 0.0]),
+            (11, [0.0, 0.0, 0.0, 5.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = {
+            r["vec_id"]: r["cluster_size"]
+            for r in semantic_dedup_corpus(
+                df, dim=4, threshold=0.9, n_planes=2
+            ).collect()
+        }
+        assert out == {1: 3, 10: 1, 11: 1}
+
     def test_anti_join_is_broadcast(self, spark):
         rows = [(i, f"doc number {i} content words") for i in range(6)]
         plan = fuzzy_dedup_corpus(
