@@ -417,32 +417,35 @@ def remove_boilerplate_segments(
     # split('', ' ') == [''] so size >= 1 and the sequence below is
     # never descending (Spark's sequence(0, -1) would yield [0, -1])
     n_seg = F.ceil(F.size("_toks") / F.lit(float(seg_tokens))).cast("int")
-    segs = staged.select(
+    # stage the segment array once; both branches below read it as a
+    # row attribute (CollapseProject keeps the non-cheap multi-
+    # referenced projection separate)
+    seg_arr = staged.select(
         id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_seg - 1),
-                lambda i: F.struct(
-                    i.cast("int").alias("seg_idx"),
-                    F.concat_ws(
-                        " ",
-                        F.slice(
-                            "_toks",
-                            (i * seg_tokens + 1).cast("int"),
-                            F.lit(seg_tokens),
-                        ),
-                    ).alias("seg"),
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.slice(
+                    "_toks",
+                    (i * seg_tokens + 1).cast("int"),
+                    F.lit(seg_tokens),
                 ),
-            )
-        ).alias("_s"),
-    ).select(
-        id_col,
-        F.col("_s.seg_idx").alias("seg_idx"),
-        F.col("_s.seg").alias("seg"),
+            ),
+        ).alias("_segarr"),
     )
+    segs = seg_arr.select(
+        id_col,
+        F.posexplode("_segarr").alias("seg_idx", "seg"),
+    )
+    # distinct-docs-per-segment WITHOUT a count-distinct (which plans
+    # as two exchanges): within-doc repeats collapse map-side via
+    # array_distinct, so a plain count = distinct doc count and the
+    # shuffle carries deduped segments only — ONE exchange
     boiler = (
-        segs.groupBy("seg")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        seg_arr.select(F.explode(F.array_distinct("_segarr")).alias("seg"))
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") > max_docs)
         .select("seg", F.lit(True).alias("_boiler"))
     )

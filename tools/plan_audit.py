@@ -185,6 +185,37 @@ NOTES = {
         "split_assign / embedding_project share this shape (pure "
         "map-side hash / literal-matrix projections)."
     ),
+    "bm25_search": (
+        "df/idf stats in ONE token shuffle (map-side combined), query "
+        "terms + doc-frequency table broadcast back; per-doc scoring "
+        "is a map-side join + aggregate, and top-k is "
+        "TakeOrderedAndProject (never a global sort)."
+    ),
+    "boilerplate_scrub": (
+        "Segmenting is map-side (split + slice in transform, one "
+        "explode); ONE shuffle counts distinct docs per segment; the "
+        "Zipf-small boilerplate set returns as an explicit broadcast "
+        "left join so the corpus-sized side never shuffles for the "
+        "membership test; ONE final shuffle regroups survivors per "
+        "doc, reassembled by array_sort inside the aggregate (no "
+        "window, no skew pivot — seg_idx is unique per doc)."
+    ),
+    "fuzzy_dedup": (
+        "End-to-end dedup: LSH pair generation + CC run on the "
+        "candidate subgraph only (banded, capped buckets; edges "
+        "localCheckpoint'ed once, label propagation batched 2 hops/ "
+        "round — the audited plan shows the final stage because CC's "
+        "driver loop materialized upstream). Corpus-side filter is an "
+        "explicit broadcast LEFT ANTI join against the small "
+        "duplicate-id set + a broadcast left join for cluster sizes: "
+        "the full corpus is ONE scan with map-side probes."
+    ),
+    "semantic_dedup": (
+        "Same keep-representatives tail as fuzzy_dedup, fed by "
+        "embedding-LSH cosine pairs (equi-join on hyperplane bucket, "
+        "never all-pairs; n_planes auto-sizing keeps mean bucket "
+        "bounded at any corpus size)."
+    ),
 }
 
 
