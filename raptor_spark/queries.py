@@ -642,6 +642,48 @@ def q_clean_corpus(spark, sf_dir):
     )
 
 
+_STREAM_DEDUP_SEQ = [0]
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup at ingest (dropDuplicatesWithinWatermark,
+    state bounded by the watermark horizon), drained with availableNow
+    over the documents table as a file stream. The SURVIVOR per
+    fingerprint is first-processed (batch/partition-order dependent),
+    so the oracle-checked output is the kept fingerprint SET — which
+    is deterministic and equals the batch identity decision."""
+    from .streaming.dedup_stream import dedup_stream
+    from .streaming.windows import run_stream_to_memory
+
+    batch = _t(spark, sf_dir, "documents")
+    # the file stream source requires a DIRECTORY; the testdata table
+    # is a single parquet file — stage a symlink dir (data untouched)
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(src):
+        d = f"/tmp/stream_docs_{abs(hash(os.path.abspath(src))) % 10**8}"
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "part-0.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        src = d
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    # documents carry no event time; synthesize one deterministically
+    # (ingest order = doc id) so watermark semantics are exercised
+    stream = stream.withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+    )
+    _STREAM_DEDUP_SEQ[0] += 1
+    table = f"t_stream_dedup_{_STREAM_DEDUP_SEQ[0]}"
+    run_stream_to_memory(
+        dedup_stream(stream, ts_col="ts", text_col="text", watermark="1 hour"),
+        table,
+    )
+    return spark.table(table).select("fp")
+
+
 def q_boilerplate_scrub(spark, sf_dir):
     """Cross-document boilerplate removal (the CCNet/RefinedWeb
     line-dedup pass, token-segment form): 3-token segments occurring
@@ -1240,6 +1282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": q_clean_corpus,
     "boilerplate_scrub": q_boilerplate_scrub,
     "fuzzy_dedup": q_fuzzy_dedup,
+    "stream_dedup": q_stream_dedup,
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
     "repetition": q_repetition,
@@ -2183,6 +2226,10 @@ WHERE {_MIX_HASH} < CASE stratum
     "dup_clusters": _dup_clusters_sql(),
     "boilerplate_scrub": _boilerplate_scrub_sql(),
     "fuzzy_dedup": _fuzzy_dedup_sql(),
+    "stream_dedup": (
+        "SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', "
+        "'g'))) AS fp FROM documents"
+    ),
     "simhash_dedup": _simhash_sql(),
     "containment": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),

@@ -138,6 +138,13 @@ def main() -> None:
             )
             return verify_pairs_edit_distance(pairs, d, "doc_id", "text")
 
+        def _boiler(d):
+            from raptor_spark.functions.text import (
+                remove_boilerplate_segments,
+            )
+
+            return remove_boilerplate_segments(d, seg_tokens=3, max_docs=2)
+
         OPS = {
             "exact_dedup": lambda d: exact_dedup(d, "doc_id"),
             "pack_sequences": pack,
@@ -154,6 +161,7 @@ def main() -> None:
             "unigram_logprob": _unigram,
             "bm25_search": _bm25,
             "lsh_verify": _lsh_verify,
+            "boilerplate_scrub": _boiler,
         }
 
         def force(out):
