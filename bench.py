@@ -86,6 +86,7 @@ HEADLINE = [
     "boilerplate_scrub",    # cross-doc segment dedup (line-dedup analog)
     "fuzzy_dedup",          # end-to-end LSH -> CC -> keep-rep filter
     "semantic_dedup",       # SemDeDup: embedding CC -> keep-rep filter
+    "tokenize_corpus",      # vocab build + rank-id token sequences
 ]
 
 

@@ -9,6 +9,7 @@ DuckDB oracle can pin it exactly.
 from __future__ import annotations
 
 from pyspark.sql import Column
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .rounding import round6
@@ -372,6 +373,70 @@ def unigram_logprob(
                 / F.lit(float(quant))
                 / F.col("n_tokens").cast("double")
             ).alias("logprob6"),
+        )
+    )
+
+
+def tokenize_corpus(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    unk_id: int = 0,
+):
+    """Corpus tokenization for training: build the vocabulary as the
+    top ``vocab_size`` tokens by corpus frequency (ties broken
+    lexically — deterministic under any partitioning), then emit each
+    document as its id sequence (ids start at 1 in rank order;
+    out-of-vocabulary tokens map to ``unk_id``). The word-level
+    analog of fitting+applying a BPE tokenizer over the corpus.
+
+    Plan shape (100 TB): tokenize map-side (JVM regex + posexplode),
+    ONE shuffle counts the vocabulary (map-side combined), the
+    ranking window runs over the TRUNCATED top-``vocab_size`` frame
+    (bounded by construction — never the corpus), the token→id map
+    broadcasts back for a map-side left join, and ONE final shuffle
+    regroups ids per doc, ordered by token position inside the
+    aggregate (array_sort on (pos, id) structs — no window over the
+    corpus).
+
+    Returns one row per document with ≥1 token:
+    ``(id_col, n_tokens, token_ids array<int>)``. Zero-token docs are
+    dropped (mirrors unigram_logprob); callers needing them keep a
+    left join on the input.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
+        ).alias("pos", "token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    top = counts.orderBy(F.col("n_t").desc(), F.col("token").asc()).limit(
+        vocab_size
+    )
+    # global row_number over <= vocab_size rows — bounded frame, the
+    # same deliberate exception as pack_sequences' block offsets
+    rank_w = F.row_number().over(
+        W.orderBy(F.col("n_t").desc(), F.col("token").asc())
+    )
+    vocab = top.select("token", rank_w.alias("tok_id"))
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .select(
+            id_col,
+            "pos",
+            F.coalesce(F.col("tok_id"), F.lit(unk_id))
+            .cast("int")
+            .alias("tok_id"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                lambda s: s.tok_id,
+            ).alias("token_ids"),
         )
     )
 

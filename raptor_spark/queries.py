@@ -684,6 +684,25 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(table).select("fp")
 
 
+def q_tokenize_corpus(spark, sf_dir):
+    """Corpus tokenization: top-30 vocabulary by frequency (lexical
+    tie-break), documents emitted as rank-id sequences with OOV → 0
+    (vocab deliberately smaller than the corpus vocabulary so the unk
+    path is exercised). Ids stringified for engine-portable value
+    hashing."""
+    from .functions.text import tokenize_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tokenize_corpus(docs, vocab_size=30)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(
+            " ", F.transform(F.col("token_ids"), lambda i: i.cast("string"))
+        ).alias("ids_str"),
+    )
+
+
 def q_boilerplate_scrub(spark, sf_dir):
     """Cross-document boilerplate removal (the CCNet/RefinedWeb
     line-dedup pass, token-segment form): 3-token segments occurring
@@ -1283,6 +1302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_scrub": q_boilerplate_scrub,
     "fuzzy_dedup": q_fuzzy_dedup,
     "stream_dedup": q_stream_dedup,
+    "tokenize_corpus": q_tokenize_corpus,
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
     "repetition": q_repetition,
@@ -2230,6 +2250,27 @@ WHERE {_MIX_HASH} < CASE stratum
         "SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', "
         "'g'))) AS fp FROM documents"
     ),
+    "tokenize_corpus": f"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE}') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, i AS pos, arr[i + 1] AS token
+  FROM arrs, UNNEST(range(len(arr))) AS u(i)
+),
+counts AS (SELECT token, count(*) AS n_t FROM toks GROUP BY 1),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY n_t DESC, token ASC) AS tok_id
+  FROM counts ORDER BY n_t DESC, token ASC LIMIT 30
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       string_agg(CAST(coalesce(v.tok_id, 0) AS VARCHAR), ' '
+                  ORDER BY t.pos) AS ids_str
+FROM toks t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+""",
     "simhash_dedup": _simhash_sql(),
     "containment": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),

@@ -149,3 +149,32 @@ class TestFuzzyDedup:
         # the corpus-side filter must be a broadcast anti join, never a
         # corpus shuffle
         assert "LeftAnti" in plan
+
+
+class TestTokenizeCorpus:
+    def test_rank_ids_and_oov(self, spark):
+        from raptor_spark.functions.text import tokenize_corpus
+
+        rows = [
+            (1, "aa aa aa bb bb cc"),
+            (2, "aa bb cc dd"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r
+            for r in tokenize_corpus(df, vocab_size=3).collect()
+        }
+        # freq: aa=4, bb=3, cc=2, dd=1 -> vocab ids aa=1 bb=2 cc=3; dd OOV->0
+        assert out[1]["token_ids"] == [1, 1, 1, 2, 2, 3]
+        assert out[2]["token_ids"] == [1, 2, 3, 0]
+        assert out[1]["n_tokens"] == 6
+
+    def test_tie_break_is_lexical(self, spark):
+        from raptor_spark.functions.text import tokenize_corpus
+
+        df = spark.createDataFrame(
+            [(1, "zz yy zz yy xx")], ["doc_id", "text"]
+        )
+        out = tokenize_corpus(df, vocab_size=2).collect()[0]
+        # yy and zz tie at 2; lexical tie-break ranks yy=1, zz=2; xx OOV
+        assert out["token_ids"] == [2, 1, 2, 1, 0]
