@@ -24,7 +24,9 @@ from .text import fingerprint
 
 
 def _norm(t: Column) -> Column:
-    return F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    from .text import norm_ws
+
+    return norm_ws(t)
 
 
 def md5_long(c: Column) -> Column:

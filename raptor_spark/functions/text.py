@@ -15,6 +15,16 @@ from pyspark.sql import functions as F
 from .rounding import round6
 
 
+def norm_ws(text: Column | str) -> Column:
+    """Canonical text normalization shared by every identity-sensitive
+    operator AND mirrored by the DuckDB oracles: lowercase, collapse
+    whitespace runs to one space, trim. Change it here and in the
+    oracle SQL together — fingerprint, exact/stream dedup, MinHash
+    shingling, and boilerplate segmentation all key on it."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count (empty/blank text → 0)."""
     t = F.col(text) if isinstance(text, str) else text
@@ -98,8 +108,7 @@ def repetition_stats(text: Column | str, n: int = 3) -> tuple[Column, Column]:
     paths stage ``split(norm, ' ')`` in its own select and use the
     from_tokens variant."""
     t = F.col(text) if isinstance(text, str) else text
-    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
-    return repetition_stats_from_tokens(F.split(norm, " "), n)
+    return repetition_stats_from_tokens(F.split(norm_ws(t), " "), n)
 
 
 def quality_score(text: Column | str) -> Column:
@@ -158,9 +167,7 @@ def lang_id(text: Column | str) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of lowercased, whitespace-collapsed,
     trimmed text — stable under formatting noise."""
-    t = F.col(text) if isinstance(text, str) else text
-    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
-    return F.md5(norm)
+    return F.md5(norm_ws(text))
 
 
 def text_stats(text_col: str = "text") -> list[Column]:
@@ -467,16 +474,22 @@ def remove_boilerplate_segments(
     deterministic under any partitioning, no window, no skew pivot
     (seg_idx is unique per doc).
 
+    The corpus is deliberately SCANNED TWICE (boiler build + flag
+    side), re-running the map-side segmentation each time: at corpus
+    scale, a second embarrassingly-parallel scan is cheaper than
+    materializing the segmented corpus (cache/checkpoint) or shipping
+    it through an extra exchange. Callers with a small, hot input can
+    ``.cache()`` it upstream.
+
     Returns one row per input document:
     ``(id_col, n_segments, n_removed, clean_text)`` — a fully
     boilerplate document survives with ``clean_text = ''`` so callers
     can count casualties instead of silently losing rows.
     """
-    t = F.coalesce(F.col(text_col), F.lit(""))
     staged = df.select(
         F.col(id_col),
         F.split(
-            F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " "
+            norm_ws(F.coalesce(F.col(text_col), F.lit(""))), " "
         ).alias("_toks"),
     )
     # split('', ' ') == [''] so size >= 1 and the sequence below is

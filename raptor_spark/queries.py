@@ -657,15 +657,22 @@ def q_stream_dedup(spark, sf_dir):
 
     batch = _t(spark, sf_dir, "documents")
     # the file stream source requires a DIRECTORY; the testdata table
-    # is a single parquet file — stage a symlink dir (data untouched)
+    # is a single parquet file — stage a symlink dir (data untouched).
+    # Dir name = md5 of the source path (process-stable, collision-free
+    # across sf dirs — Python hash() is salted per process); a stale or
+    # wrong-target link is replaced, never silently reused.
+    import hashlib
     import os
 
     src = os.path.join(sf_dir, "documents.parquet")
     if os.path.isfile(src):
-        d = f"/tmp/stream_docs_{abs(hash(os.path.abspath(src))) % 10**8}"
+        src = os.path.abspath(src)
+        d = f"/tmp/stream_docs_{hashlib.md5(src.encode()).hexdigest()[:12]}"
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, "part-0.parquet")
-        if not os.path.exists(link):
+        if os.path.islink(link) and os.readlink(link) != src:
+            os.remove(link)
+        if not os.path.islink(link):
             os.symlink(src, link)
         src = d
     stream = spark.readStream.schema(batch.schema).parquet(src)
@@ -681,7 +688,11 @@ def q_stream_dedup(spark, sf_dir):
         dedup_stream(stream, ts_col="ts", text_col="text", watermark="1 hour"),
         table,
     )
-    return spark.table(table).select("fp")
+    # the checked contract is the kept fingerprint SET; make that true
+    # by construction — dropDuplicatesWithinWatermark only dedupes
+    # within the state horizon, so a multi-microbatch drain could
+    # re-emit a fingerprint whose duplicates arrive > watermark apart
+    return spark.table(table).select("fp").distinct()
 
 
 def q_tokenize_corpus(spark, sf_dir):

@@ -142,13 +142,16 @@ class TestFuzzyDedup:
         assert out == {1: 3, 10: 1, 11: 1}
 
     def test_anti_join_is_broadcast(self, spark):
+        import re
+
         rows = [(i, f"doc number {i} content words") for i in range(6)]
         plan = fuzzy_dedup_corpus(
             _docs(spark, rows), "doc_id"
-        )._jdf.queryExecution().optimizedPlan().toString()
-        # the corpus-side filter must be a broadcast anti join, never a
-        # corpus shuffle
-        assert "LeftAnti" in plan
+        )._jdf.queryExecution().executedPlan().toString()
+        # the corpus-side filter must be a BROADCAST anti join, never a
+        # corpus shuffle — dropping the broadcast hint regresses the
+        # scale property and must fail here
+        assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
 
 
 class TestTokenizeCorpus:

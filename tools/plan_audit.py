@@ -193,7 +193,11 @@ NOTES = {
     ),
     "boilerplate_scrub": (
         "Segmenting is map-side (split + slice in transform, one "
-        "explode); ONE shuffle counts distinct docs per segment; the "
+        "explode); the corpus is deliberately scanned twice (boiler "
+        "build + flag side) — a second embarrassingly-parallel scan "
+        "beats materializing segmented text; ONE shuffle counts "
+        "distinct docs per segment (within-doc repeats deduped "
+        "map-side via array_distinct, so a plain count suffices); the "
         "Zipf-small boilerplate set returns as an explicit broadcast "
         "left join so the corpus-sized side never shuffles for the "
         "membership test; ONE final shuffle regroups survivors per "
