@@ -87,6 +87,10 @@ HEADLINE = [
     "fuzzy_dedup",          # end-to-end LSH -> CC -> keep-rep filter
     "semantic_dedup",       # SemDeDup: embedding CC -> keep-rep filter
     "tokenize_corpus",      # vocab build + rank-id token sequences
+    "dedup_incremental",    # batch-vs-corpus probe of signature stores
+    "domain_cap",           # salted two-level per-domain top-n
+    "quality_classifier",   # distributed-GD linear quality filter
+    "hybrid_search",        # BM25 recall -> cosine re-rank
 ]
 
 

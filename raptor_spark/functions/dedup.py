@@ -137,6 +137,82 @@ def _bucket_pairs(buckets: DataFrame) -> DataFrame:
     ).select("p.id_a", "p.id_b")
 
 
+def band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash banded signatures: one row per (document, band) with
+    the band's signature string — ``(_id, band, bsig)``. The shared
+    first stage of every LSH consumer (`minhash_lsh_pairs`,
+    `corpus_signature_store`, `dedup_against_corpus`); two documents
+    are near-dup candidates iff they share a (band, bsig) key.
+
+    Staged selects: shingle → md5-hash (expensive, once per shingle)
+    → signature (cheap arithmetic). Kept as separate projections so
+    the expensive arrays are evaluated once per row (CollapseProject
+    refuses to inline non-cheap exprs referenced multiple times).
+    Heavy per-row compute → spread rows across the cluster first
+    (a freshly-scanned small table may be a single input split).
+    EXPLICIT partition count: a bare repartition(col) gets
+    AQE-coalesced back to one partition when the bytes are small,
+    even though the per-row CPU (md5 x shingles) is the real cost."""
+    if bands <= 0 or k % bands != 0:
+        # k // bands would silently truncate: bands > k gives 0-row
+        # bands whose signature is '' for EVERY doc (one all-pairs
+        # bucket); a non-multiple quietly ignores the trailing hashes
+        raise ValueError(f"k={k} must be a positive multiple of bands={bands}")
+    rows = k // bands
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.split(_norm(F.col(text_col)), " ").alias("_toks"),
+        )
+        .select(
+            "_id",
+            word_shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh"),
+        )
+    )
+    hashed = sh.select(
+        "_id",
+        F.transform("_sh", lambda s: md5_long(s) % MINHASH_H_MOD).alias("_h"),
+    )
+    sig = hashed.select(
+        "_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "_h", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+                    )
+                )
+                for a, b in minhash_coeffs(k)
+            ]
+        ).alias("_sig"),
+    )
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("_sig")[b * rows + r].cast("string") for r in range(rows)]
+                        ).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bsig")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -178,66 +254,7 @@ def minhash_lsh_pairs(
             "observation requires max_bucket > 0 — with no cap nothing "
             "attaches the metrics and Observation.get would block forever"
         )
-    if bands <= 0 or k % bands != 0:
-        # k // bands would silently truncate: bands > k gives 0-row
-        # bands whose signature is '' for EVERY doc (one all-pairs
-        # bucket); a non-multiple quietly ignores the trailing hashes
-        raise ValueError(f"k={k} must be a positive multiple of bands={bands}")
-    rows = k // bands
-    # staged selects: shingle → md5-hash (expensive, once per shingle)
-    # → signature (cheap arithmetic). Kept as separate projections so
-    # the expensive arrays are evaluated once per row (CollapseProject
-    # refuses to inline non-cheap exprs referenced multiple times).
-    # Heavy per-row compute → spread rows across the cluster first
-    # (a freshly-scanned small table may be a single input split).
-    # EXPLICIT partition count: a bare repartition(col) gets
-    # AQE-coalesced back to one partition when the bytes are small,
-    # even though the per-row CPU (md5 x shingles) is the real cost.
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        df.repartition(n_part, F.col(id_col))
-        .select(
-            F.col(id_col).alias("_id"),
-            F.split(_norm(F.col(text_col)), " ").alias("_toks"),
-        )
-        .select(
-            "_id",
-            word_shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh"),
-        )
-    )
-    hashed = sh.select(
-        "_id",
-        F.transform("_sh", lambda s: md5_long(s) % MINHASH_H_MOD).alias("_h"),
-    )
-    sig = hashed.select(
-        "_id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        "_h", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
-                    )
-                )
-                for a, b in minhash_coeffs(k)
-            ]
-        ).alias("_sig"),
-    )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col("_sig")[b * rows + r].cast("string") for r in range(rows)]
-                        ).alias("bsig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bsig")
+    banded = band_rows(df, id_col, text_col, shingle_n, k, bands)
     if two_pass and max_bucket > 0:
         sizes = banded.groupBy("band", "bsig").agg(F.count(F.lit(1)).alias("_n"))
         hot = sizes.filter(F.col("_n") > max_bucket).select("band", "bsig")
@@ -289,6 +306,114 @@ def minhash_lsh_pairs(
     return (
         pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def corpus_signature_store(
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the two AGGREGATED signature stores an incremental dedup
+    pipeline materializes once per corpus and reuses for every new
+    batch (reference point: the reference engine's historical store is
+    the same write-once/probe-many shape):
+
+    - ``fp_store``  — ``(fp, n_docs)``: distinct exact-dedup
+      fingerprints (md5 of normalized text) with their corpus
+      multiplicity.
+    - ``band_store`` — ``(band, bsig, n_docs)``: distinct MinHash LSH
+      band signatures with per-bucket corpus counts.
+
+    Both are pre-aggregated and NARROW (fixed-width key + one long) —
+    at 100 TB of text the stores are 1-2% of corpus bytes, and probing
+    them never rescans or reshuffles the corpus. Persist them
+    partitioned/bucketed by their key (``fp`` / ``(band, bsig)``) so
+    increment probes co-locate without an exchange.
+    """
+    fp_store = (
+        corpus_df.select(fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    band_store = (
+        band_rows(corpus_df, id_col, text_col, shingle_n, k, bands)
+        .groupBy("band", "bsig")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return fp_store, band_store
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    fp_store: DataFrame,
+    band_store: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental dedup: flag each NEW-batch document against an
+    existing corpus via its signature stores (see
+    `corpus_signature_store`) — the production shape at scale, where
+    the daily increment is deduped against the accumulated corpus
+    without ever rescanning it.
+
+    Per new document:
+
+    - ``exact_dup``      — its normalized fingerprint exists in
+      ``fp_store`` (an exact duplicate of some corpus doc).
+    - ``n_bands_hit``    — how many of its ``bands`` LSH band
+      signatures exist in ``band_store`` (0..bands; ≥1 = near-dup
+      candidate, higher = more confident).
+    - ``max_band_freq``  — the largest corpus bucket among its hit
+      bands (how COMMON its closest corpus neighborhood is; a huge
+      value signals boilerplate-like content).
+
+    Plan shape: the new batch is the small side — with
+    ``broadcast_new`` (default) its fingerprints and band rows
+    broadcast to map-side probes of the stores, so neither store
+    shuffles; per-doc flags come back through one aggregation of the
+    (new-batch-sized) hit rows. For increments too large to broadcast,
+    pass ``broadcast_new=False`` and bucket the persisted stores by
+    their key — the equi-joins then co-locate without an exchange.
+
+    Returns one row per new document:
+    ``(id_col, exact_dup boolean, n_bands_hit, max_band_freq)``
+    (zero-hit docs: ``(false, 0, 0)``).
+    """
+    hint = F.broadcast if broadcast_new else (lambda d: d)
+    new_fp = new_df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    exact = (
+        fp_store.join(hint(new_fp), "fp")
+        .select(F.col(id_col), F.lit(True).alias("exact_dup"))
+    )
+    new_bands = band_rows(new_df, id_col, text_col, shingle_n, k, bands)
+    near = (
+        band_store.join(hint(new_bands), ["band", "bsig"])
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_hit"),
+            F.max("n_docs").alias("max_band_freq"),
+        )
+    )
+    return (
+        new_df.select(id_col)
+        .join(hint(exact), id_col, "left")
+        .join(hint(near), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("n_bands_hit", F.lit(0)).alias("n_bands_hit"),
+            F.coalesce("max_band_freq", F.lit(0)).alias("max_band_freq"),
+        )
     )
 
 

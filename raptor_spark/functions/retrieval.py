@@ -165,3 +165,134 @@ SELECT {id_col}, score6,
   CAST(row_number() OVER (ORDER BY score6 DESC, {id_col}) AS INT) AS rank
 FROM top
 """
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embs: DataFrame,
+    terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    k_lex: int = 50,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 selects ``k_lex``
+    candidates, which are re-ranked by
+    ``alpha · bm25/max(bm25) + (1-alpha) · cosine(embedding, query)``
+    — the standard two-stage shape (cheap lexical recall over the full
+    corpus, semantic precision over a bounded candidate set). Used in
+    pipelines for targeted curation and semantic decontamination
+    triage where pure BM25 misses paraphrases.
+
+    Plan shape (100 TB): stage 1 is bm25_topk (tokens shuffle once,
+    pre-filtered to query terms; top-k_lex via TakeOrderedAndProject).
+    Stage 2 only ever touches k_lex rows: the candidate set BROADCASTS
+    into the embeddings join (the corpus-sized embedding table never
+    shuffles), the single query vector rides a broadcast 1-row cross
+    join, and the bm25 max is a window over the bounded candidate
+    frame (so the bm25 subtree executes exactly once) — every window
+    here runs over <= k_lex rows by construction.
+
+    Determinism: bm25 score6 and cos6 are round6-canonical; the blend
+    folds ``alpha·bm25n + beta·cos6`` left-to-right with repr'd
+    constants, so the DuckDB twin (hybrid_sql) reproduces every bit.
+    Zero-norm embeddings score cosine 0.0 (guarded identically in
+    both engines).
+
+    Returns ``(id_col, score6, cos6, hybrid6, rank)`` for the top
+    ``k``; ties broken by lowest id.
+    """
+    cand = bm25_topk(
+        docs, terms, k=k_lex, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, quant=quant,
+    ).drop("rank")
+    # bm25 max over the BOUNDED k_lex candidate frame (global window,
+    # <= k_lex rows by construction) — one window beats re-executing
+    # the whole bm25 subtree for a 1-row aggregate
+    cand = cand.withColumn(
+        "_mx", F.max("score6").over(W.partitionBy())
+    )
+    from .similarity import dot, norm as vnorm
+
+    qv = embs.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    e = F.col(vec_col)
+    den = vnorm(e) * vnorm(F.col("_qv"))
+    cos6 = round6(
+        F.when(den > 0, dot(e, F.col("_qv")) / den).otherwise(F.lit(0.0))
+    )
+    joined = (
+        embs.join(
+            F.broadcast(cand), F.col(vec_id_col) == F.col(id_col)
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            id_col,
+            "score6",
+            cos6.alias("cos6"),
+            round6(
+                F.lit(float(alpha)) * (F.col("score6") / F.col("_mx"))
+                + F.lit(float(1.0 - alpha)) * cos6
+            ).alias("hybrid6"),
+        )
+    )
+    top = joined.orderBy(F.col("hybrid6").desc(), F.col(id_col).asc()).limit(k)
+    w = W.orderBy(F.col("hybrid6").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def hybrid_sql(
+    terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    k_lex: int = 50,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quant: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`hybrid_topk` (same op order; constants
+    via ``repr``)."""
+    bm25 = bm25_sql(terms, k=k_lex, k1=k1, b=b, quant=quant)
+    num = (
+        "list_sum(list_transform(list_zip(e.embedding, q._qv), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    den = (
+        "(sqrt(list_sum(list_transform(e.embedding, "
+        "v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(q._qv, "
+        "v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))"
+    )
+    cos6 = (
+        f"floor((CASE WHEN {den} > 0 THEN ({num}) / {den} "
+        f"ELSE 0.0 END) * 1000000 + 0.5) / 1000000"
+    )
+    a_r, b_r = repr(float(alpha)), repr(float(1.0 - alpha))
+    return f"""
+WITH cand AS ({bm25}),
+qv AS (SELECT embedding AS _qv FROM embeddings WHERE vec_id = {query_vec_id}),
+mx AS (SELECT max(score6) AS _mx FROM cand),
+j AS (
+  SELECT c.doc_id, c.score6, {cos6} AS cos6, m._mx
+  FROM embeddings e
+  JOIN cand c ON e.vec_id = c.doc_id
+  CROSS JOIN qv q CROSS JOIN mx m),
+h AS (
+  SELECT doc_id, score6, cos6,
+    floor(({a_r} * (score6 / _mx) + {b_r} * cos6) * 1000000 + 0.5)
+      / 1000000 AS hybrid6
+  FROM j)
+SELECT doc_id, score6, cos6, hybrid6,
+  CAST(row_number() OVER (ORDER BY hybrid6 DESC, doc_id) AS INT) AS rank
+FROM h
+ORDER BY hybrid6 DESC, doc_id LIMIT {k}
+"""

@@ -126,3 +126,55 @@ def shuffle_order(key: Column, salt: str = "shuffle") -> Column:
     ``repartitionByRange`` on this key so the sort is one range
     exchange, not a single-partition collapse."""
     return md5_long(F.concat(F.lit(salt + "|"), key.cast("string")))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[Column],
+    n: int,
+    salt_key: Column | None = None,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, by rank under ``order_by``
+    (pass a TOTAL order — e.g. quality desc then id — or ties make the
+    survivor set partition-dependent). The standard curation cap:
+    "at most N documents per domain, best quality first", so one giant
+    domain cannot dominate a training mixture.
+
+    Scale shape — a naive ``row_number() over (partition by group)``
+    puts EVERY row of the hottest group through one reducer; at 10^12
+    docs a single mega-domain stalls the stage. This is the salted
+    two-level top-n instead (same design as operators/skew.py): pass 1
+    ranks within (group, salt) — the hot group's rows spread over
+    ``n_salts`` reducers — and keeps ``n`` per salt; pass 2 re-ranks
+    the ≤ n·n_salts survivors per group and keeps ``n``. Both passes
+    are windows over bounded-or-spread frames; correctness does not
+    depend on the salt spread (pass 1 never drops a row that pass 2
+    could keep: a row outranked by ≥ n rows within its own salt is
+    outranked by ≥ n rows in the full group).
+
+    ``salt_key`` (a Column) seeds the salt — pass the row's natural
+    unique id; the default hashes every column (correct, but pays for
+    wide rows). The salt is a pure function of row content (no rand()),
+    so re-executed partitions reproduce it. Returns the input columns
+    plus ``rank_in_group`` (1-based).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    from pyspark.sql import Window as W
+
+    key = salt_key if salt_key is not None else F.xxhash64(*df.columns)
+    salt = F.pmod(F.xxhash64(key), F.lit(n_salts))
+    w1 = W.partitionBy(group_col, "_salt").orderBy(*order_by)
+    pass1 = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= n)
+        .drop("_salt", "_rn1")
+    )
+    w2 = W.partitionBy(group_col).orderBy(*order_by)
+    return (
+        pass1.withColumn("rank_in_group", F.row_number().over(w2))
+        .filter(F.col("rank_in_group") <= n)
+    )

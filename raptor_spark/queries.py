@@ -714,6 +714,93 @@ def q_tokenize_corpus(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: every 10th document plays the NEW batch, the
+    rest the accumulated corpus; the corpus materializes its signature
+    stores once (fingerprints + LSH band signatures, both aggregated
+    and narrow) and the batch probes them with broadcast map-side
+    joins — the corpus is scanned once to build the stores and NEVER
+    rescanned or shuffled per increment. Per new doc: exact-duplicate
+    flag, LSH bands hit (0-4), and the hottest matching bucket's
+    corpus count."""
+    from .functions.dedup import corpus_signature_store, dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    fp_store, band_store = corpus_signature_store(corpus, "doc_id")
+    return dedup_against_corpus(new, fp_store, band_store, "doc_id")
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap: at most 3 docs per domain, best
+    quality first (deterministic doc_id tie-break) — the curation step
+    that stops one mega-domain from dominating a training mixture.
+    Uses the salted two-level top-n (sampling.cap_per_group), so the
+    hottest domain's rows spread across reducers; correctness is
+    salt-independent. Synthetic URL suffixes as in domain_stats (the
+    corpus has no organic URLs); quality is round6-canonical so ranks
+    are engine-portable."""
+    from .functions.rounding import round6
+    from .functions.sampling import cap_per_group
+    from .functions.text import extract_domains, quality_score
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" See https://w"),
+                (F.col("doc_id") % 23).cast("string"),
+                F.lit(".example"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    # try_element_at: ANSI mode makes plain element_at THROW on the
+    # empty array a URL-less doc produces
+    per_doc = docs.select(
+        "doc_id",
+        round6(quality_score("text")).alias("q"),
+        F.try_element_at(extract_domains("text"), F.lit(1)).alias("domain"),
+    ).filter(F.col("domain").isNotNull())
+    return cap_per_group(
+        per_doc,
+        "domain",
+        [F.col("q").desc(), F.col("doc_id").asc()],
+        n=3,
+        salt_key=F.col("doc_id"),
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Trained quality filter: fit a linear classifier by distributed
+    gradient descent (3 iterations, deterministic first-500-ids
+    training sample, quantized order-independent gradient sums,
+    algebraic fast sigmoid — no exp, so every bit is engine-portable)
+    against the weak label n_chars >= 300, then score the FULL corpus
+    map-only with the trained weights as literals. The oracle replays
+    the identical iterations. The model-based filtering stage of a
+    CCNet/GPT-3-style pipeline."""
+    from .functions.classifier import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    label = F.when(F.col("n_chars") >= 300, F.lit(1.0)).otherwise(F.lit(0.0))
+    w = quality_classifier_fit(docs, label, sample_n=500)
+    scored = docs.select(
+        "doc_id", quality_classifier_score(w, "text").alias("qc_score")
+    )
+    return scored.select(
+        "doc_id", "qc_score", (F.col("qc_score") >= 0.5).alias("keep")
+    )
+
+
 def q_boilerplate_scrub(spark, sf_dir):
     """Cross-document boilerplate removal (the CCNet/RefinedWeb
     line-dedup pass, token-segment form): 3-token segments occurring
@@ -1154,6 +1241,21 @@ def q_bm25_search(spark, sf_dir):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Two-stage hybrid retrieval: BM25 pulls 50 lexical candidates
+    from the corpus, re-ranked by a 50/50 blend of normalized BM25 and
+    cosine similarity to a query embedding (vec_id 7) — the cheap-
+    recall → semantic-precision shape used for curation pulls and
+    decontamination triage. The corpus-sized embeddings table never
+    shuffles: candidates, query vector, and the bm25 max all
+    broadcast."""
+    from .functions.retrieval import hybrid_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    return hybrid_topk(docs, embs, _BM25_TERMS, query_vec_id=7, k=10)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-self-trained unigram LM surprisal per document (the
     CCNet-style perplexity quality filter). Vocabulary counted in one
@@ -1314,6 +1416,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_dedup": q_fuzzy_dedup,
     "stream_dedup": q_stream_dedup,
     "tokenize_corpus": q_tokenize_corpus,
+    "dedup_incremental": q_dedup_incremental,
+    "domain_cap": q_domain_cap,
+    "quality_classifier": q_quality_classifier,
+    "hybrid_search": q_hybrid_search,
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
     "repetition": q_repetition,
@@ -1401,7 +1507,10 @@ _MIX_HASH = (
 )
 
 
-def _minhash_sql() -> str:
+def _banded_cte() -> str:
+    """The shared DuckDB CTE chain documents → MinHash banded rows
+    (``banded(doc_id, band, bsig)``) — one definition probed by every
+    LSH oracle (pairs, incremental store), mirroring dedup.band_rows."""
     from .functions.dedup import MINHASH_H_MOD, MINHASH_P, minhash_coeffs
 
     k, bands, rows = 16, 4, 4
@@ -1418,8 +1527,7 @@ def _minhash_sql() -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    return f"""docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 toks AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM docs),
 sh AS (
   SELECT doc_id,
@@ -1437,7 +1545,12 @@ sig AS (SELECT doc_id, {hashes} FROM hs),
 banded AS (
   SELECT doc_id, b.band, b.bsig
   FROM sig, (VALUES {band_rows}) AS b(band, bsig)
-),
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_banded_cte()},
 -- mirror the engine's max_bucket=10000 cap: buckets larger than the
 -- cap are dropped on BOTH sides (engine: executor-memory guard)
 kept AS (
@@ -1750,15 +1863,88 @@ QUALIFY rank <= 3
 """
 
 
+def _q_components() -> dict[str, str]:
+    """DuckDB twins of text.alpha_ratio / upper_ratio / punct_ratio /
+    the length score — shared by the quality heuristic and the trained
+    quality classifier's feature vector."""
+    return {
+        "alpha": "CASE WHEN length(text)>0 THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END",
+        "upper": "CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[A-Z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END",
+        "punct": "CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[.,!?;:]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END",
+        "lens": "least(CAST(length(text) AS DOUBLE)/500.0, 1.0)",
+    }
+
+
 def _quality_sql() -> str:
-    alpha = "CASE WHEN length(text)>0 THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END"
-    upper = "CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[A-Z]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END"
-    punct = "CASE WHEN length(text)>0 THEN CAST(length(text)-length(regexp_replace(text,'[.,!?;:]','','g')) AS DOUBLE)/length(text) ELSE 0.0 END"
-    lens = "least(CAST(length(text) AS DOUBLE)/500.0, 1.0)"
+    c = _q_components()
+    alpha, upper, punct, lens = c["alpha"], c["upper"], c["punct"], c["lens"]
     return (
         f"floor((0.4*({alpha}) + 0.3*({lens}) + 0.2*(1.0-({upper}))"
         f" + 0.1*(1.0-least(({punct})*5, 1.0))) * 1000000 + 0.5) / 1000000"
     )
+
+
+def _quality_classifier_sql(
+    iters: int = 3, lr: float = 1.0, quant: int = 1 << 20, sample_n: int = 500
+) -> str:
+    """CTE chain replaying quality_classifier_fit's deterministic
+    gradient-descent iterations (see functions/classifier.py for the
+    determinism rules: round6 features, algebraic fast sigmoid, BIGINT
+    quantized gradient sums, in-engine round6 weight updates), then
+    scoring the full corpus with the trained weights."""
+    c = _q_components()
+    qf = f"{float(quant)!r}"
+    feats = {
+        "x0": "1.0",
+        "x1": sql_round6(c["alpha"]),
+        "x2": sql_round6(c["lens"]),
+        "x3": sql_round6(c["upper"]),
+        "x4": sql_round6(c["punct"]),
+    }
+    feat_cols = ",\n    ".join(f"{e} AS {n}" for n, e in feats.items())
+    zj = " + ".join(f"w.w{j}*x{j}" for j in range(5))
+    sig = "0.5 + z / (2.0 * (1.0 + abs(z)))"
+    parts = [
+        f"""qfeat AS (
+  SELECT doc_id,
+    {feat_cols},
+    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents)""",
+        f"qtrain AS (SELECT * FROM qfeat ORDER BY doc_id LIMIT {sample_n})",
+        "qw0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(5))
+        + ")",
+    ]
+    for it in range(1, iters + 1):
+        sums = ",\n    ".join(
+            f"sum(CAST(floor((({sig}) - y) * x{j} * {qf}) AS BIGINT)) AS s{j}"
+            for j in range(5)
+        )
+        upd = ",\n    ".join(
+            sql_round6(
+                f"w.w{j} - {float(lr)!r} * (CAST(g.s{j} AS DOUBLE) / {qf} / g.n)"
+            )
+            + f" AS w{j}"
+            for j in range(5)
+        )
+        parts.append(f"""qg{it} AS (
+  SELECT count(*) AS n,
+    {sums}
+  FROM (SELECT t.*, ({zj}) AS z FROM qtrain t CROSS JOIN qw{it - 1} w)),
+qw{it} AS (
+  SELECT
+    {upd}
+  FROM qw{it - 1} w CROSS JOIN qg{it} g)""")
+    score = sql_round6(sig)
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT doc_id,
+  {score} AS qc_score,
+  ({score}) >= 0.5 AS keep
+FROM (SELECT f.doc_id, ({zj.replace("*x", "*f.x")}) AS z
+      FROM qfeat f CROSS JOIN qw{iters} w)
+"""
 
 
 def _profile_sql() -> str:
@@ -1809,6 +1995,7 @@ def _project_sql() -> str:
 
 
 from .functions.retrieval import bm25_sql as _bm25_sql  # noqa: E402
+from .functions.retrieval import hybrid_sql as _hybrid_sql  # noqa: E402
 
 
 def _conv_rollup_sql() -> str:
@@ -2282,6 +2469,56 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN vocab v USING (token)
 GROUP BY t.doc_id
 """,
+    "dedup_incremental": f"""
+WITH {_banded_cte()},
+fp AS (SELECT doc_id, md5(norm) AS fp FROM docs),
+corpus_fp AS (
+  SELECT fp, count(*) AS n_docs FROM fp WHERE doc_id % 10 <> 0 GROUP BY 1),
+corpus_band AS (
+  SELECT band, bsig, count(*) AS n_docs
+  FROM banded WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+exact AS (
+  SELECT f.doc_id FROM fp f JOIN corpus_fp c USING (fp)
+  WHERE f.doc_id % 10 = 0),
+near AS (
+  SELECT nb.doc_id,
+         count(*) AS n_bands_hit,
+         max(cb.n_docs) AS max_band_freq
+  FROM banded nb
+  JOIN corpus_band cb ON nb.band = cb.band AND nb.bsig = cb.bsig
+  WHERE nb.doc_id % 10 = 0
+  GROUP BY 1)
+SELECT n.doc_id,
+  (e.doc_id IS NOT NULL) AS exact_dup,
+  COALESCE(nr.n_bands_hit, 0) AS n_bands_hit,
+  COALESCE(nr.max_band_freq, 0) AS max_band_freq
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) n
+LEFT JOIN exact e ON n.doc_id = e.doc_id
+LEFT JOIN near nr ON n.doc_id = nr.doc_id
+""",
+    "domain_cap": f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text
+      || ' See https://w' || CAST(doc_id % 23 AS VARCHAR)
+      || '.example' || CAST(doc_id % 7 AS VARCHAR)
+      || '.org/p/' || CAST(doc_id AS VARCHAR)
+    ELSE text END AS text
+  FROM documents),
+per_doc AS (
+  SELECT doc_id,
+    floor(({_quality_sql()}) * 1000000 + 0.5) / 1000000 AS q,
+    lower(regexp_extract(regexp_extract(text, 'https?://[^\\s]+'),
+                         'https?://([^/:?#]+)', 1)) AS domain
+  FROM d)
+SELECT doc_id, q, domain,
+  row_number() OVER (PARTITION BY domain ORDER BY q DESC, doc_id ASC)
+    AS rank_in_group
+FROM per_doc
+WHERE domain IS NOT NULL AND domain <> ''
+QUALIFY rank_in_group <= 3
+""",
+    "quality_classifier": _quality_classifier_sql(),
     "simhash_dedup": _simhash_sql(),
     "containment": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
@@ -2490,6 +2727,7 @@ FROM q
     "embedding_project": _project_sql(),
     "conv_rollup": _conv_rollup_sql(),
     "bm25_search": _bm25_sql(_BM25_TERMS, k=10),
+    "hybrid_search": _hybrid_sql(_BM25_TERMS, query_vec_id=7, k=10),
     "unigram_logprob": f"""
 WITH toks AS (
   SELECT doc_id,

@@ -1,0 +1,165 @@
+"""Incremental dedup (batch vs corpus signature stores) and the
+salted per-group cap.
+
+Reference scope: both are training-pipeline extensions beyond the
+reference engine (brief: dedup at 100 TB is incremental — the daily
+batch probes the accumulated corpus's stores, never rescans it; and
+per-domain caps are the standard mixture-curation step).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_spark.functions.dedup import (
+    corpus_signature_store,
+    dedup_against_corpus,
+)
+from raptor_spark.functions.sampling import cap_per_group
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "pack my box with five dozen liquor jugs right now"),
+    (3, "sphinx of black quartz judge my vow said the king"),
+]
+
+
+class TestDedupAgainstCorpus:
+    @pytest.fixture(scope="class")
+    def stores(self, spark):
+        fp, band = corpus_signature_store(_docs(spark, CORPUS), "doc_id")
+        return fp.cache(), band.cache()
+
+    def _flags(self, spark, stores, new_rows):
+        fp, band = stores
+        out = dedup_against_corpus(_docs(spark, new_rows), fp, band, "doc_id")
+        return {
+            r["doc_id"]: (r["exact_dup"], r["n_bands_hit"], r["max_band_freq"])
+            for r in out.collect()
+        }
+
+    def test_exact_dup_is_normalization_insensitive(self, spark, stores):
+        # same text modulo case/whitespace → exact fingerprint hit
+        flags = self._flags(
+            spark,
+            stores,
+            [(10, "  The QUICK  brown fox jumps over the lazy dog today ")],
+        )
+        exact, hits, freq = flags[10]
+        assert exact is True
+        assert hits == 4  # identical text shares every band
+        assert freq == 1
+
+    def test_near_dup_hits_some_bands(self, spark, stores):
+        # one word changed: not exact, but shares shingles → ≥1 band
+        flags = self._flags(
+            spark,
+            stores,
+            [(11, "the quick brown fox jumps over the lazy cat today")],
+        )
+        exact, hits, _ = flags[11]
+        assert exact is False
+        assert 1 <= hits <= 4
+
+    def test_novel_doc_is_clean(self, spark, stores):
+        flags = self._flags(
+            spark,
+            stores,
+            [(12, "completely unrelated content about spark physical plans")],
+        )
+        assert flags[12] == (False, 0, 0)
+
+    def test_corpus_multiplicity_reaches_freq(self, spark):
+        corpus = _docs(
+            spark,
+            [(i, "the quick brown fox jumps over the lazy dog today") for i in range(5)],
+        )
+        fp, band = corpus_signature_store(corpus, "doc_id")
+        out = dedup_against_corpus(
+            _docs(spark, [(10, "the quick brown fox jumps over the lazy dog today")]),
+            fp,
+            band,
+            "doc_id",
+        ).collect()[0]
+        assert out["exact_dup"] is True
+        assert out["max_band_freq"] == 5
+
+    def test_store_probe_is_broadcast(self, spark, stores):
+        # the 100 TB property: the NEW side broadcasts, the stores
+        # (corpus-derived) never shuffle for the probe
+        fp, band = stores
+        plan = (
+            dedup_against_corpus(
+                _docs(spark, [(10, "x y z")]), fp, band, "doc_id"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert re.search(r"BroadcastHashJoin", plan)
+
+
+class TestCapPerGroup:
+    def _rows(self):
+        # 3 groups: sizes 7, 3, 1; quality = value to rank by
+        rows = []
+        for i in range(7):
+            rows.append((100 + i, "a", float(i % 4)))  # ties on quality
+        for i in range(3):
+            rows.append((200 + i, "b", float(i)))
+        rows.append((300, "c", 9.0))
+        return rows
+
+    def _df(self, spark):
+        return spark.createDataFrame(self._rows(), ["id", "grp", "q"])
+
+    def _naive(self, n):
+        import pandas as pd
+
+        pdf = pd.DataFrame(self._rows(), columns=["id", "grp", "q"])
+        pdf = pdf.sort_values(["grp", "q", "id"], ascending=[True, False, True])
+        pdf["rank_in_group"] = pdf.groupby("grp").cumcount() + 1
+        return {
+            (r.id, r.grp, r.rank_in_group)
+            for r in pdf[pdf.rank_in_group <= n].itertuples()
+        }
+
+    @pytest.mark.parametrize("n_salts", [1, 4, 32])
+    def test_matches_naive_reference_any_salt(self, spark, n_salts):
+        out = cap_per_group(
+            self._df(spark),
+            "grp",
+            [F.col("q").desc(), F.col("id").asc()],
+            n=3,
+            salt_key=F.col("id"),
+            n_salts=n_salts,
+        ).collect()
+        got = {(r["id"], r["grp"], r["rank_in_group"]) for r in out}
+        assert got == self._naive(3)
+
+    def test_cap_not_exceeded_and_small_groups_whole(self, spark):
+        out = cap_per_group(
+            self._df(spark),
+            "grp",
+            [F.col("q").desc(), F.col("id").asc()],
+            n=2,
+            salt_key=F.col("id"),
+        ).collect()
+        by_grp = {}
+        for r in out:
+            by_grp.setdefault(r["grp"], []).append(r["rank_in_group"])
+        assert sorted(by_grp["a"]) == [1, 2]
+        assert sorted(by_grp["b"]) == [1, 2]
+        assert sorted(by_grp["c"]) == [1]
+
+    def test_rejects_nonpositive_n(self, spark):
+        with pytest.raises(ValueError):
+            cap_per_group(self._df(spark), "grp", [F.col("q")], n=0)

@@ -85,3 +85,69 @@ def test_bm25_plan_topk_no_global_sort(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestHybrid:
+    def _tables(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "spark spark spark window"),
+                (2, "window window table"),
+                (3, "table row filter batch merge"),
+                (4, "spark window"),
+                (5, "spark table table table table table table table"),
+            ],
+            "doc_id long, text string",
+        )
+        embs = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.0, 1.0]),
+                (3, [1.0, 1.0]),
+                (4, [0.0, 0.0]),  # zero vector — guard path
+                (5, [1.0, 0.1]),
+                (7, [1.0, 0.0]),  # the query vector
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        return docs, embs
+
+    def test_blend_and_zero_norm_guard(self, spark):
+        from raptor_spark.functions.retrieval import hybrid_topk
+
+        docs, embs = self._tables(spark)
+        out = hybrid_topk(
+            docs, embs, ["spark", "window"], query_vec_id=7, k=5, k_lex=5
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        # zero-norm embedding scores cosine 0.0, not NULL/NaN
+        assert by_id[4]["cos6"] == 0.0
+        # doc 1 is aligned with the query vector → cosine 1.0
+        assert by_id[1]["cos6"] == 1.0
+        # blend: hybrid6 = round6(0.5*score6/max + 0.5*cos6), and rank
+        # follows (hybrid6 desc, doc_id)
+        mx = max(r["score6"] for r in out)
+        import math
+
+        for r in out:
+            want = (
+                math.floor(
+                    (0.5 * (r["score6"] / mx) + 0.5 * r["cos6"]) * 1e6 + 0.5
+                )
+                / 1e6
+            )
+            assert r["hybrid6"] == want
+        ranked = sorted(out, key=lambda r: (-r["hybrid6"], r["doc_id"]))
+        assert [r["rank"] for r in ranked] == list(range(1, len(out) + 1))
+
+    def test_embeddings_side_never_shuffles(self, spark):
+        from raptor_spark.functions.retrieval import hybrid_topk
+
+        docs, embs = self._tables(spark)
+        df = hybrid_topk(
+            docs, embs, ["spark"], query_vec_id=7, k=3, k_lex=5
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # candidates and query vector broadcast into the embeddings
+        # probe — a corpus-side Exchange in stage 2 would break at scale
+        assert "BroadcastHashJoin" in plan

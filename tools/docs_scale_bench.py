@@ -146,6 +146,11 @@ def main() -> None:
 
             return remove_boilerplate_segments(d, seg_tokens=3, max_docs=2)
 
+        def _tokenize(d):
+            from raptor_spark.functions.text import tokenize_corpus
+
+            return tokenize_corpus(d, "doc_id", "text", vocab_size=1000)
+
         OPS = {
             "exact_dedup": lambda d: exact_dedup(d, "doc_id"),
             "pack_sequences": pack,
@@ -163,6 +168,7 @@ def main() -> None:
             "bm25_search": _bm25,
             "lsh_verify": _lsh_verify,
             "boilerplate_scrub": _boiler,
+            "tokenize_corpus": _tokenize,
         }
 
         def force(out):

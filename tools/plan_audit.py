@@ -220,13 +220,62 @@ NOTES = {
         "never all-pairs; n_planes auto-sizing keeps mean bucket "
         "bounded at any corpus size)."
     ),
+    "tokenize_corpus": (
+        "Tokenize map-side (JVM regex + posexplode); ONE map-side-"
+        "combined shuffle counts the vocabulary; rank ids come from a "
+        "row_number over the TRUNCATED top-vocab_size frame (bounded "
+        "by construction, never the corpus — the same deliberate "
+        "exception as pack_sequences' block offsets); the token->id "
+        "map broadcasts back for a map-side probe; ONE final shuffle "
+        "regroups ids per doc, position-ordered by array_sort inside "
+        "the aggregate (no window over the corpus)."
+    ),
+    "dedup_incremental": (
+        "Incremental (batch-vs-corpus) dedup: the corpus materializes "
+        "aggregated signature stores ONCE (fingerprints; LSH band "
+        "signatures — narrow keys + counts, 1-2% of corpus bytes); "
+        "each new batch's fingerprints and band rows BROADCAST to "
+        "map-side probes of the stores, so the corpus side never "
+        "shuffles per increment; per-doc flags aggregate the batch-"
+        "sized hit rows. For un-broadcastable increments the stores "
+        "persist bucketed by key and the equi-joins co-locate."
+    ),
+    "domain_cap": (
+        "Salted two-level per-group top-n: pass 1 ranks within "
+        "(domain, salt) so the hottest domain's rows spread over "
+        "n_salts reducers; pass 2 re-ranks the <= n*n_salts survivors "
+        "per domain. A naive single window would put every row of a "
+        "mega-domain through one reducer. Quality is round6-quantized "
+        "so the rank order is engine-portable; the salt is a pure "
+        "function of doc_id (deterministic under re-execution)."
+    ),
+    "quality_classifier": (
+        "Model-based quality filter: gradient-descent training runs "
+        "BEFORE the audited plan (one aggregate per iteration over "
+        "the bounded first-ids sample, integer-quantized partials, "
+        "map-side combined; driver collects 5 scalars/iter); the "
+        "audited scoring plan is MAP-ONLY — trained weights are "
+        "literals, features are JVM regex/arithmetic, no join, no "
+        "shuffle. The algebraic fast sigmoid (no exp) keeps every bit "
+        "engine-portable; the oracle replays the identical iterations."
+    ),
+    "hybrid_search": (
+        "Two-stage retrieval: bm25_topk supplies <= k_lex candidates "
+        "(tokens shuffle once, query-term-filtered; top-k via "
+        "TakeOrderedAndProject), then stage 2 touches ONLY candidate "
+        "rows — candidates + the 1-row query vector broadcast into "
+        "the embeddings probe (the corpus-sized embedding table never "
+        "shuffles), the bm25 max and final rank are windows over the "
+        "bounded candidate frame. All no-partition windows here are "
+        "<= k_lex rows by construction."
+    ),
 }
 
 
 # queries whose no-partition window runs over a pre-aggregated frame
 # that is bounded by construction (NOT the corpus) — labeled honestly
 # in the table instead of the **YES** scale-killer flag.
-BOUNDED_WINDOW = {"pack_sequences"}
+BOUNDED_WINDOW = {"pack_sequences", "tokenize_corpus", "hybrid_search"}
 
 
 def audit(name: str, df) -> dict:
