@@ -163,3 +163,50 @@ class TestCapPerGroup:
     def test_rejects_nonpositive_n(self, spark):
         with pytest.raises(ValueError):
             cap_per_group(self._df(spark), "grp", [F.col("q")], n=0)
+
+
+class TestCrossOpConsistency:
+    """dedup_against_corpus must agree with minhash_lsh_pairs: a new
+    doc hits >= 1 corpus band iff the pairwise LSH over (corpus + new)
+    emits a (new, corpus) candidate pair — same banding, two shapes."""
+
+    def test_band_hits_match_pairwise_lsh(self, spark):
+        import random
+
+        from raptor_spark.functions.dedup import minhash_lsh_pairs
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(30)]
+        corpus_rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(12)))
+            for i in range(20)
+        ]
+        new_rows = [
+            (100 + i, " ".join(rng.choice(vocab) for _ in range(12)))
+            for i in range(10)
+        ]
+        # plant one exact clone and one mutation of a corpus doc
+        new_rows[0] = (100, corpus_rows[3][1])
+        new_rows[1] = (101, corpus_rows[5][1].replace("w", "x", 1))
+
+        corpus = _docs(spark, corpus_rows)
+        new = _docs(spark, new_rows)
+        fp, band = corpus_signature_store(corpus, "doc_id")
+        inc = {
+            r["doc_id"]: r["n_bands_hit"]
+            for r in dedup_against_corpus(new, fp, band, "doc_id").collect()
+        }
+
+        both = corpus.unionByName(new)
+        pairs = minhash_lsh_pairs(both, "doc_id", max_bucket=0).collect()
+        cross = {}
+        for p in pairs:
+            lo, hi = p["id_a"], p["id_b"]
+            if lo < 100 <= hi:  # (corpus, new) pair
+                cross[hi] = max(cross.get(hi, 0), p["n_shared_bands"])
+        for doc_id, hits in inc.items():
+            assert (hits > 0) == (doc_id in cross), (doc_id, hits, cross)
+            if hits > 0:
+                # the store probe counts this doc's bands present in
+                # the corpus — at least the best pairwise band overlap
+                assert hits >= cross[doc_id]

@@ -151,6 +151,73 @@ def main() -> None:
 
             return tokenize_corpus(d, "doc_id", "text", vocab_size=1000)
 
+        def _dedup_incremental(d):
+            # corpus = 90% of docs builds the stores; the 10% "daily
+            # batch" probes them (broadcast map-side, corpus unshuffled)
+            from raptor_spark.functions.dedup import (
+                corpus_signature_store,
+                dedup_against_corpus,
+            )
+
+            corpus = d.filter(F.col("doc_id") % 10 != 0)
+            new = d.filter(F.col("doc_id") % 10 == 0)
+            fp, band = corpus_signature_store(corpus, "doc_id")
+            return dedup_against_corpus(new, fp, band, "doc_id")
+
+        def _quality_classifier(d):
+            from raptor_spark.functions.classifier import (
+                quality_classifier_fit,
+                quality_classifier_score,
+            )
+
+            w = quality_classifier_fit(
+                d,
+                F.when(F.length("text") >= 300, F.lit(1.0)).otherwise(0.0),
+                sample_n=10_000,
+            )
+            return d.select(
+                "doc_id", quality_classifier_score(w, "text").alias("s")
+            )
+
+        def _domain_cap(d):
+            # synthetic per-source grouping (the corpus has no URLs):
+            # cap 100 docs per source stratum by quality
+            from raptor_spark.functions.sampling import cap_per_group
+
+            scored = d.select(
+                "doc_id", "source", quality_score("text").alias("q")
+            )
+            return cap_per_group(
+                scored,
+                "source",
+                [F.col("q").desc(), F.col("doc_id").asc()],
+                n=100,
+                salt_key=F.col("doc_id"),
+            )
+
+        def _hybrid(d):
+            # embeddings stand-in: deterministic 16-dim vectors derived
+            # from doc_id (the real table is 500 rows — too small at
+            # this mult); measures the bm25 + broadcast re-rank shape
+            from raptor_spark.functions.retrieval import hybrid_topk
+
+            embs = d.select(
+                F.col("doc_id").alias("vec_id"),
+                F.array(
+                    *[
+                        (
+                            F.pmod(F.xxhash64(F.col("doc_id") + F.lit(j)), 1000)
+                            / 500.0
+                            - 1.0
+                        )
+                        for j in range(16)
+                    ]
+                ).alias("embedding"),
+            )
+            return hybrid_topk(
+                d, embs, ["spark", "window", "vector"], query_vec_id=7, k=10
+            )
+
         OPS = {
             "exact_dedup": lambda d: exact_dedup(d, "doc_id"),
             "pack_sequences": pack,
@@ -169,6 +236,10 @@ def main() -> None:
             "lsh_verify": _lsh_verify,
             "boilerplate_scrub": _boiler,
             "tokenize_corpus": _tokenize,
+            "dedup_incremental": _dedup_incremental,
+            "quality_classifier": _quality_classifier,
+            "domain_cap": _domain_cap,
+            "hybrid_search": _hybrid,
         }
 
         def force(out):
