@@ -133,6 +133,14 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times[name] = round(best, 3)
+            # NOTE: deliberately NO System.gc() between queries — a
+            # full GC clears the soft-referenced codegen cache and
+            # forces every subsequent query to recompile (measured:
+            # ann_lsh 2.4s -> 21.9s, total 94s -> 136s). The converse
+            # effect (prior queries' garbage collected during the next
+            # measurement) inflates a few mid-list queries ~2-3x vs
+            # isolated runs; rerun a query alone before calling a
+            # full-pass number a regression.
 
         total = round(sum(times.values()), 3)
         n_ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
