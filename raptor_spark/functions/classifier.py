@@ -96,7 +96,13 @@ def quality_classifier_fit(
     iteration. See the module docstring for the determinism rules.
     """
     n_feat = len(FEATURE_NAMES)
-    base = df.select(
+    # explicit null filter: a NULL text does NOT null the features
+    # (ratio CASEs fall through to 0.0 and `least` skips nulls, so
+    # len_score becomes 1.0) — without the filter such rows would
+    # train on fabricated features; NULL labels likewise drop
+    base = df.filter(
+        F.col(text_col).isNotNull() & label.isNotNull()
+    ).select(
         F.col(id_col),
         label.cast("double").alias("_y"),
         *[
@@ -117,9 +123,15 @@ def quality_classifier_fit(
     try:
         for _ in range(iters):
             r = fast_sigmoid(_z(w, xs)) - F.col("_y")
+            # _n counts rows whose gradient is NON-NULL (null text or
+            # null label nulls every per-feature product identically),
+            # so dropped rows leave both the sums AND the divisor —
+            # count(*) here would silently shrink the gradient instead
             row = (
                 train.agg(
-                    F.count(F.lit(1)).alias("_n"),
+                    F.count(
+                        F.floor(r * xs[0] * F.lit(float(quant)))
+                    ).alias("_n"),
                     *[
                         F.sum(
                             F.floor(r * xs[j] * F.lit(float(quant))).cast(

@@ -133,6 +133,20 @@ class TestQualityClassifier:
         w = quality_classifier_fit(df, F.col("y").cast("double"), iters=1)
         assert len(w) == len(FEATURE_NAMES)
 
+    def test_null_rows_drop_from_gradient_and_divisor(self, spark):
+        # null text / null label rows contribute to NEITHER the sums
+        # NOR n — fit must equal the fit on the clean subset
+        clean = _docs(spark, n=40)
+        dirty = clean.unionByName(
+            spark.createDataFrame(
+                [(1000, None, 1), (1001, "some text here", None)],
+                "doc_id long, text string, y int",
+            )
+        )
+        w_clean = quality_classifier_fit(clean, F.col("y").cast("double"))
+        w_dirty = quality_classifier_fit(dirty, F.col("y").cast("double"))
+        assert w_clean == w_dirty
+
     def test_fast_sigmoid_properties(self, spark):
         vals = [-100.0, -1.0, 0.0, 1.0, 100.0]
         df = spark.createDataFrame([(v,) for v in vals], ["z"])
