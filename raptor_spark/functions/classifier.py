@@ -159,6 +159,12 @@ def quality_classifier_fit(
                 )
                 .collect()[0]
             )
+            if row["_w0"] is None:
+                raise ValueError(
+                    "quality_classifier_fit: no training rows survive "
+                    "the null text/label filter (empty input or all "
+                    "nulls) — the gradient aggregate is undefined"
+                )
             w = [float(row[f"_w{j}"]) for j in range(n_feat)]
     finally:
         if sample_n is not None:

@@ -203,8 +203,9 @@ def hybrid_topk(
     Determinism: bm25 score6 and cos6 are round6-canonical; the blend
     folds ``alpha·bm25n + beta·cos6`` left-to-right with repr'd
     constants, so the DuckDB twin (hybrid_sql) reproduces every bit.
-    Zero-norm embeddings score cosine 0.0 (guarded identically in
-    both engines).
+    Zero-norm AND MISSING embeddings score cosine 0.0 (guarded
+    identically in both engines) — a candidate without an embedding
+    row is still ranked by its lexical score, never dropped.
 
     Returns ``(id_col, score6, cos6, hybrid6, rank)`` for the top
     ``k``; ties broken by lowest id.
@@ -219,6 +220,10 @@ def hybrid_topk(
     cand = cand.withColumn(
         "_mx", F.max("score6").over(W.partitionBy())
     )
+    # cand is referenced twice below (semi-probe ids + left side);
+    # localCheckpoint materializes the k_lex rows once so the bm25
+    # subtree executes exactly once
+    cand = cand.localCheckpoint()
     from .similarity import dot, norm as vnorm
 
     qv = embs.filter(F.col(vec_id_col) == query_vec_id).select(
@@ -229,9 +234,18 @@ def hybrid_topk(
     cos6 = round6(
         F.when(den > 0, dot(e, F.col("_qv")) / den).otherwise(F.lit(0.0))
     )
+    # ONE corpus scan: broadcast-semi restricts embeddings to the
+    # candidate ids, then the LEFT join keeps candidates WITHOUT an
+    # embedding row (their den is NULL, so the cosine guard scores
+    # them 0.0 — the top lexical hit never silently vanishes)
+    emb_c = embs.join(
+        F.broadcast(cand.select(id_col)),
+        F.col(vec_id_col) == F.col(id_col),
+        "left_semi",
+    )
     joined = (
-        embs.join(
-            F.broadcast(cand), F.col(vec_id_col) == F.col(id_col)
+        cand.join(
+            F.broadcast(emb_c), F.col(id_col) == F.col(vec_id_col), "left"
         )
         .crossJoin(F.broadcast(qv))
         .select(
@@ -283,8 +297,8 @@ qv AS (SELECT embedding AS _qv FROM embeddings WHERE vec_id = {query_vec_id}),
 mx AS (SELECT max(score6) AS _mx FROM cand),
 j AS (
   SELECT c.doc_id, c.score6, {cos6} AS cos6, m._mx
-  FROM embeddings e
-  JOIN cand c ON e.vec_id = c.doc_id
+  FROM cand c
+  LEFT JOIN embeddings e ON e.vec_id = c.doc_id
   CROSS JOIN qv q CROSS JOIN mx m),
 h AS (
   SELECT doc_id, score6, cos6,

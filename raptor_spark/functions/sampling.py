@@ -162,6 +162,10 @@ def cap_per_group(
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
+    if n_salts <= 0:
+        # pmod(x, 0) only fails at job runtime (ANSI DIVIDE_BY_ZERO,
+        # mid-stage, no argument hint) — fail at call time instead
+        raise ValueError(f"n_salts must be positive, got {n_salts}")
     from pyspark.sql import Window as W
 
     key = salt_key if salt_key is not None else F.xxhash64(*df.columns)

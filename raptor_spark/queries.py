@@ -741,7 +741,6 @@ def q_domain_cap(spark, sf_dir):
     salt-independent. Synthetic URL suffixes as in domain_stats (the
     corpus has no organic URLs); quality is round6-canonical so ranks
     are engine-portable."""
-    from .functions.rounding import round6
     from .functions.sampling import cap_per_group
     from .functions.text import extract_domains, quality_score
 
@@ -761,12 +760,15 @@ def q_domain_cap(spark, sf_dir):
         ).otherwise(F.col("text")).alias("text"),
     )
     # try_element_at: ANSI mode makes plain element_at THROW on the
-    # empty array a URL-less doc produces
+    # empty array a URL-less doc produces. The != '' filter mirrors
+    # the oracle: a URL whose host the domain regex can't capture
+    # yields '' (regexp_extract's no-match value), not NULL.
+    # quality_score is already round6-canonical — no extra rounding.
     per_doc = docs.select(
         "doc_id",
-        round6(quality_score("text")).alias("q"),
+        quality_score("text").alias("q"),
         F.try_element_at(extract_domains("text"), F.lit(1)).alias("domain"),
-    ).filter(F.col("domain").isNotNull())
+    ).filter(F.col("domain").isNotNull() & (F.col("domain") != ""))
     return cap_per_group(
         per_doc,
         "domain",
@@ -1910,7 +1912,11 @@ def _quality_classifier_sql(
     {feat_cols},
     CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
   FROM documents)""",
-        f"qtrain AS (SELECT * FROM qfeat ORDER BY doc_id LIMIT {sample_n})",
+        # mirror quality_classifier_fit's null filter: NULL-text rows
+        # never enter the training sample (they still get SCORED —
+        # qfeat is unfiltered — matching the Spark side)
+        "qtrain AS (SELECT f.* FROM qfeat f JOIN documents d USING (doc_id) "
+        f"WHERE d.text IS NOT NULL ORDER BY f.doc_id LIMIT {sample_n})",
         "qw0 AS (SELECT "
         + ", ".join(f"0.0 AS w{j}" for j in range(5))
         + ")",
@@ -2507,7 +2513,7 @@ WITH d AS (
   FROM documents),
 per_doc AS (
   SELECT doc_id,
-    floor(({_quality_sql()}) * 1000000 + 0.5) / 1000000 AS q,
+    {_quality_sql()} AS q,
     lower(regexp_extract(regexp_extract(text, 'https?://[^\\s]+'),
                          'https?://([^/:?#]+)', 1)) AS domain
   FROM d)

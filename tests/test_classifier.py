@@ -147,6 +147,11 @@ class TestQualityClassifier:
         w_dirty = quality_classifier_fit(dirty, F.col("y").cast("double"))
         assert w_clean == w_dirty
 
+    def test_empty_training_frame_raises_clearly(self, spark):
+        df = _docs(spark, n=10).filter(F.col("doc_id") < 0)
+        with pytest.raises(ValueError, match="no training rows"):
+            quality_classifier_fit(df, F.col("y").cast("double"), iters=1)
+
     def test_fast_sigmoid_properties(self, spark):
         vals = [-100.0, -1.0, 0.0, 1.0, 100.0]
         df = spark.createDataFrame([(v,) for v in vals], ["z"])

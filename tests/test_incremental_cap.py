@@ -105,6 +105,10 @@ class TestDedupAgainstCorpus:
             .toString()
         )
         assert re.search(r"BroadcastHashJoin", plan)
+        # the property is that the store probes never degrade to a
+        # shuffle join (a stray broadcast elsewhere would not save us)
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
 
 
 class TestCapPerGroup:
@@ -163,6 +167,8 @@ class TestCapPerGroup:
     def test_rejects_nonpositive_n(self, spark):
         with pytest.raises(ValueError):
             cap_per_group(self._df(spark), "grp", [F.col("q")], n=0)
+        with pytest.raises(ValueError):
+            cap_per_group(self._df(spark), "grp", [F.col("q")], n=1, n_salts=0)
 
 
 class TestCrossOpConsistency:

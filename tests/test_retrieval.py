@@ -105,7 +105,7 @@ class TestHybrid:
                 (2, [0.0, 1.0]),
                 (3, [1.0, 1.0]),
                 (4, [0.0, 0.0]),  # zero vector — guard path
-                (5, [1.0, 0.1]),
+                # doc 5 has NO embedding row — must still rank (cos 0)
                 (7, [1.0, 0.0]),  # the query vector
             ],
             "vec_id long, embedding array<double>",
@@ -122,6 +122,10 @@ class TestHybrid:
         by_id = {r["doc_id"]: r for r in out}
         # zero-norm embedding scores cosine 0.0, not NULL/NaN
         assert by_id[4]["cos6"] == 0.0
+        # a candidate WITHOUT an embedding row is kept, cosine 0.0 —
+        # the top lexical hit must never silently vanish
+        assert by_id[5]["cos6"] == 0.0
+        assert by_id[5]["score6"] > 0
         # doc 1 is aligned with the query vector → cosine 1.0
         assert by_id[1]["cos6"] == 1.0
         # blend: hybrid6 = round6(0.5*score6/max + 0.5*cos6), and rank
@@ -149,5 +153,10 @@ class TestHybrid:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         # candidates and query vector broadcast into the embeddings
-        # probe — a corpus-side Exchange in stage 2 would break at scale
+        # probe — a corpus-side Exchange in stage 2 would break at
+        # scale. "Some broadcast exists" is not enough (bm25's stage-1
+        # broadcasts would satisfy it); the real property is that NO
+        # join degraded to a shuffle join.
         assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan

@@ -262,12 +262,15 @@ NOTES = {
     "hybrid_search": (
         "Two-stage retrieval: bm25_topk supplies <= k_lex candidates "
         "(tokens shuffle once, query-term-filtered; top-k via "
-        "TakeOrderedAndProject), then stage 2 touches ONLY candidate "
-        "rows — candidates + the 1-row query vector broadcast into "
-        "the embeddings probe (the corpus-sized embedding table never "
-        "shuffles), the bm25 max and final rank are windows over the "
-        "bounded candidate frame. All no-partition windows here are "
-        "<= k_lex rows by construction."
+        "TakeOrderedAndProject — that stage's shape is the bm25_search "
+        "row; here it sits behind a localCheckpoint so the candidate "
+        "set materializes exactly once despite two references), then "
+        "stage 2 — the audited plan — touches ONLY candidate rows: "
+        "broadcast-semi restricts the embeddings scan to candidate "
+        "ids, a broadcast LEFT join keeps candidates without an "
+        "embedding row (cosine guard scores them 0.0), the 1-row "
+        "query vector rides a broadcast cross join, and the bm25 max "
+        "/ final rank are windows over the bounded candidate frame."
     ),
 }
 
