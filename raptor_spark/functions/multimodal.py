@@ -170,6 +170,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ):
                 if mtype != "video":
                     continue
+                if payload is None or meta["duration_ms"] is None:
+                    # NULL media: no frames — the SQL twin's
+                    # generate_series(0, NULL) likewise yields none
+                    continue
                 dur = int(meta["duration_ms"])
                 b = bytes(payload)
                 for i, t in enumerate(range(0, max(dur, 1), every_ms)):
@@ -198,16 +202,26 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payloads (e.g. a NULL source text) yield NULL
+            # n_bytes/digest/feature — the row survives with its id
+            # and type, matching the SQL twin's NULL propagation;
+            # bare .map(len) would crash the whole Arrow batch
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
                     "digest": payloads.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
                     ),
                     "feature": payloads.map(
                         lambda b: _fake_feature(bytes(b), dim)
+                        if b is not None
+                        else None
                     ),
                 }
             )

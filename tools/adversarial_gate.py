@@ -52,7 +52,14 @@ COPY (
     (900001, ''), (900002, '   '), (900003, 'a'),
     (900004, 'héllo wörld — 日本語 текст مرحبا'),
     (900005, repeat('spam ham ', 500)),
-    (900006, chr(10) || chr(9) || '  mixed   whitespace ' || chr(10))
+    (900006, chr(10) || chr(9) || '  mixed   whitespace ' || chr(10)),
+    -- NULL text: classifier training filter, norm/fingerprint
+    -- coalesce paths, null feature propagation
+    (900007, NULL),
+    -- URL whose host the domain regex cannot capture: the
+    -- extracted-domain-is-'' path (Spark regexp_extract returns '',
+    -- DuckDB likewise — both sides must FILTER it, not group on it)
+    (900008, 'edge case see https:///nohost and http://:99/x end')
   ) t(doc_id, text)
 ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
 """)
