@@ -91,6 +91,7 @@ HEADLINE = [
     "domain_cap",           # salted two-level per-domain top-n
     "quality_classifier",   # distributed-GD linear quality filter
     "hybrid_search",        # BM25 recall -> cosine re-rank
+    "budget_sample",        # per-source token-budget greedy fill
 ]
 
 

@@ -182,3 +182,89 @@ def cap_per_group(
         pass1.withColumn("rank_in_group", F.row_number().over(w2))
         .filter(F.col("rank_in_group") <= n)
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: Mapping[str, int],
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+    n_blocks: int = 256,
+) -> DataFrame:
+    """Fill per-source TOKEN budgets deterministically: within each
+    source, documents are taken in md5-hash order until the cumulative
+    token count reaches that source's budget (the document that
+    crosses the line is included — greedy fill). The mixture-assembly
+    step "sample 30B tokens of web, 5B of code" uses; reproducible
+    (no rand()), auditable via the returned running total. Sources
+    absent from ``budgets`` are dropped.
+
+    Scale shape — a naive running total is a window ordered over the
+    WHOLE source (one reducer per source; a 10^11-token web crawl
+    stalls the stage). This is the two-level prefix sum instead (same
+    design as packing.pack_sequences): the hash key's high bits assign
+    each doc to one of ``n_blocks`` ORDER-ALIGNED blocks, partial sums
+    run per (source, block), block offsets come from a window over the
+    tiny (source × block) frame and broadcast back, and the in-block
+    running total is a window over ~1/n_blocks of the source. The
+    total is a sum of BIGINTs, so the two-level grouping is exactly
+    equal to the naive running total (the DuckDB oracle uses the
+    naive form).
+
+    Rows with NULL tokens or NULL source drop (their running total is
+    undefined); ties in the hash key break by id. Returns the kept
+    rows as ``(id_col, source_col, token_col, cum_tokens)``.
+    """
+    if n_blocks <= 0:
+        raise ValueError(f"n_blocks must be positive, got {n_blocks}")
+    from pyspark.sql import Window as W
+
+    # md5_long is 60 bits; 2^60 // n_blocks keeps the block id an
+    # exact integer divide (order-aligned: block asc == key asc)
+    width = (1 << 60) // n_blocks
+    budget = F.create_map(
+        *[x for s, b in sorted(budgets.items()) for x in (F.lit(s), F.lit(int(b)))]
+    )[F.col(source_col)]
+    t = (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col(token_col).cast("long").alias("_tok"),
+            shuffle_order(F.col(id_col), salt).alias("_k"),
+            budget.alias("_budget"),
+        )
+        .filter(F.col("_budget").isNotNull())
+        .withColumn("_blk", F.expr(f"_k div {width}"))
+    )
+    in_w = (
+        W.partitionBy(source_col, "_blk")
+        .orderBy(F.col("_k").asc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = t.withColumn("_in_cum", F.sum("_tok").over(in_w))
+    # per-(source, block) totals → running offset over the BOUNDED
+    # (source × n_blocks) frame, broadcast back
+    off_w = (
+        W.partitionBy(source_col)
+        .orderBy(F.col("_blk").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = (
+        t.groupBy(source_col, "_blk")
+        .agg(F.sum("_tok").alias("_bs"))
+        .withColumn("_off", F.sum("_bs").over(off_w) - F.col("_bs"))
+        .select(source_col, "_blk", "_off")
+    )
+    cum = F.col("_off") + F.col("_in_cum")
+    return (
+        t.join(F.broadcast(offsets), [source_col, "_blk"])
+        .filter(cum - F.col("_tok") < F.col("_budget"))
+        .select(
+            id_col,
+            source_col,
+            F.col("_tok").alias(token_col),
+            cum.alias("cum_tokens"),
+        )
+    )

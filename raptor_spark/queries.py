@@ -778,6 +778,51 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+_BUDGETS = {f"src{i}": 1500 + 400 * (i % 4) for i in range(0, 20, 2)}
+
+
+def q_budget_sample(spark, sf_dir):
+    """Token-budget mixture assembly: per source, take documents in
+    deterministic hash order until the source's token budget fills
+    (the crossing doc included; sources without a budget drop — only
+    even-numbered sources are budgeted here so that path is
+    exercised). Two-level prefix sum inside (order-aligned hash
+    blocks, broadcast block offsets), exactly equal to the oracle's
+    naive per-source running total."""
+    from .functions.sampling import sample_to_token_budget
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    return sample_to_token_budget(docs, _BUDGETS)
+
+
+def _budget_sample_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(_BUDGETS.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    CAST('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 15)
+         AS BIGINT) AS k,
+    CASE source {whens} ELSE NULL END AS budget
+  FROM documents),
+f AS (SELECT * FROM t WHERE budget IS NOT NULL),
+c AS (
+  SELECT doc_id, source, n_tokens, budget,
+    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum_tokens
+  FROM f)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < budget
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trained quality filter: fit a linear classifier by distributed
     gradient descent (3 iterations, deterministic first-500-ids
@@ -1422,6 +1467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "quality_classifier": q_quality_classifier,
     "hybrid_search": q_hybrid_search,
+    "budget_sample": q_budget_sample,
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
     "repetition": q_repetition,
@@ -2525,6 +2571,7 @@ WHERE domain IS NOT NULL AND domain <> ''
 QUALIFY rank_in_group <= 3
 """,
     "quality_classifier": _quality_classifier_sql(),
+    "budget_sample": _budget_sample_sql(),
     "simhash_dedup": _simhash_sql(),
     "containment": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),

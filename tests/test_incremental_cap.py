@@ -216,3 +216,69 @@ class TestCrossOpConsistency:
                 # the store probe counts this doc's bands present in
                 # the corpus — at least the best pairwise band overlap
                 assert hits >= cross[doc_id]
+
+
+class TestTokenBudgetSample:
+    def _docs(self, spark):
+        rows = []
+        for i in range(30):
+            rows.append((i, "a", 5))          # source a: 30 docs x 5 tokens
+        for i in range(100, 104):
+            rows.append((i, "b", 10))         # source b: 4 docs x 10
+        rows.append((200, "c", 99))           # source c: unbudgeted
+        return spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+
+    @staticmethod
+    def _key(doc_id, salt="budget"):
+        import hashlib
+
+        return int(hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()[:15], 16)
+
+    def _naive(self, rows, budgets):
+        out = {}
+        by_src = {}
+        for doc_id, src, tok in rows:
+            by_src.setdefault(src, []).append((self._key(doc_id), doc_id, tok))
+        for src, lst in by_src.items():
+            if src not in budgets:
+                continue
+            cum = 0
+            for _k, doc_id, tok in sorted(lst):
+                cum += tok
+                if cum - tok < budgets[src]:
+                    out[doc_id] = cum
+        return out
+
+    @pytest.mark.parametrize("n_blocks", [1, 7, 256])
+    def test_matches_naive_greedy_fill_any_blocking(self, spark, n_blocks):
+        from raptor_spark.functions.sampling import sample_to_token_budget
+
+        budgets = {"a": 62, "b": 25}
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in sample_to_token_budget(
+                self._docs(spark), budgets, n_blocks=n_blocks
+            ).collect()
+        }
+        rows = [(r["doc_id"], r["source"], r["n_tokens"])
+                for r in self._docs(spark).collect()]
+        assert got == self._naive(rows, budgets)
+
+    def test_unbudgeted_source_dropped_and_crossing_doc_kept(self, spark):
+        from raptor_spark.functions.sampling import sample_to_token_budget
+
+        out = sample_to_token_budget(
+            self._docs(spark), {"a": 12, "b": 1000}
+        ).collect()
+        srcs = {r["source"] for r in out}
+        assert "c" not in srcs
+        a = sorted(r["cum_tokens"] for r in out if r["source"] == "a")
+        assert a == [5, 10, 15]  # 15 crosses the 12 budget and is kept
+        b = [r for r in out if r["source"] == "b"]
+        assert len(b) == 4  # budget larger than the source: all kept
+
+    def test_rejects_nonpositive_blocks(self, spark):
+        from raptor_spark.functions.sampling import sample_to_token_budget
+
+        with pytest.raises(ValueError):
+            sample_to_token_budget(self._docs(spark), {"a": 1}, n_blocks=0)

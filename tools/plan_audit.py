@@ -259,6 +259,16 @@ NOTES = {
         "shuffle. The algebraic fast sigmoid (no exp) keeps every bit "
         "engine-portable; the oracle replays the identical iterations."
     ),
+    "budget_sample": (
+        "Token-budget mixture fill: the per-source running total is a "
+        "TWO-LEVEL prefix sum (hash key's high bits give order-aligned "
+        "blocks; in-block window covers ~1/n_blocks of a source; block "
+        "offsets ride a window over the tiny source x block frame and "
+        "broadcast back) — a naive running total would push every row "
+        "of the largest source through ONE reducer. BIGINT sums make "
+        "the two-level grouping exactly equal to the oracle's naive "
+        "form."
+    ),
     "hybrid_search": (
         "Two-stage retrieval: bm25_topk supplies <= k_lex candidates "
         "(tokens shuffle once, query-term-filtered; top-k via "
