@@ -107,6 +107,37 @@ def _force(df) -> int:
     return row["n"]
 
 
+LINE_BUDGET = 1400  # bytes; driver tail-capture truncated r3's 3.6 KB line
+
+
+def build_line(
+    times: dict[str, float], total: float, sf: str, thr, cpus: int
+) -> str:
+    """The ONE printed JSON line, guaranteed under LINE_BUDGET bytes.
+    Per-query times are rounded to 2 dp; if the dict still outgrows the
+    budget, only the slowest entries stay (the full breakdown is in
+    BENCH/last_run.json either way)."""
+    q2 = {k: round(v, 2) for k, v in times.items()}
+    out = {
+        "metric": "headline query wall-time (backfill + asof + windows + dedup + ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": q2,
+        "sf": sf,
+        "backfill_turns_per_sec": thr,
+        "cpus": cpus,
+        "detail": "BENCH/last_run.json",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    while len(line) > LINE_BUDGET and q2:
+        drop = min(q2, key=lambda kk: q2[kk])
+        del q2[drop]
+        out["queries"] = q2
+        out["queries_truncated_to_slowest"] = len(q2)
+        line = json.dumps(out, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -146,7 +177,12 @@ def main() -> None:
         total = round(sum(times.values()), 3)
         n_ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         thr = round(n_ev / times["backfill_wide"], 1) if "backfill_wide" in times else None
-        out = {
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        # Full breakdown (rows + 3-dp times) goes to a side file; the
+        # PRINTED line must stay well under the driver's tail-capture
+        # window (~2 KB — round 3's 3.6 KB line was truncated mid-object
+        # and recorded as parsed:null, voiding the bench gate).
+        side = {
             "metric": "headline query wall-time (backfill + asof + windows + dedup + ann)",
             "value": total,
             "unit": "sec",
@@ -154,9 +190,12 @@ def main() -> None:
             "sf": sf,
             "rows": rows,
             "backfill_turns_per_sec": thr,
-            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+            "cpus": cpus,
         }
-        print(json.dumps(out))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/last_run.json", "w") as f:
+            json.dump(side, f, indent=1)
+        print(build_line(times, total, sf, thr, cpus))
     finally:
         spark.stop()
 

@@ -138,6 +138,19 @@ def resize_images(media: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFra
             metas = []
             payloads = []
             for meta, payload in zip(pdf["meta"], pdf["payload"]):
+                if (
+                    meta is None
+                    or payload is None
+                    or meta["width"] is None
+                    or meta["height"] is None
+                    or meta["duration_ms"] is None
+                ):
+                    # NULL media passes through untouched (mirrors SQL
+                    # NULL propagation); computing on it would crash
+                    # the whole Arrow batch
+                    metas.append(meta)
+                    payloads.append(payload)
+                    continue
                 w, h = int(meta["width"]), int(meta["height"])
                 scale = min(max_w / max(w, 1), max_h / max(h, 1), 1.0)
                 nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
@@ -170,7 +183,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ):
                 if mtype != "video":
                     continue
-                if payload is None or meta["duration_ms"] is None:
+                if payload is None or meta is None or meta["duration_ms"] is None:
                     # NULL media: no frames — the SQL twin's
                     # generate_series(0, NULL) likewise yields none
                     continue

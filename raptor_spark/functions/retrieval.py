@@ -226,8 +226,25 @@ def hybrid_topk(
     cand = cand.localCheckpoint()
     from .similarity import dot, norm as vnorm
 
-    qv = embs.filter(F.col(vec_id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qv")
+    # Point-lookup the query vector ONCE (pushed-down id filter) and
+    # fail fast if absent — the broadcast cross join against an empty
+    # qv would silently empty the whole result (a typo'd vec id must
+    # be an error, not zero rows). The collected row becomes a 1-row
+    # local frame, so the embeddings table is scanned exactly once
+    # below (the candidate semi-join), not twice.
+    qrows = (
+        embs.filter(F.col(vec_id_col) == query_vec_id)
+        .select(F.col(vec_col).alias("_qv"))
+        .limit(1)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(
+            f"query_vec_id={query_vec_id!r} has no row in the embedding "
+            f"table ({vec_id_col})"
+        )
+    qv = embs.sparkSession.createDataFrame(
+        qrows, schema=f"_qv {embs.schema[vec_col].dataType.simpleString()}"
     )
     e = F.col(vec_col)
     den = vnorm(e) * vnorm(F.col("_qv"))

@@ -166,6 +166,15 @@ def cap_per_group(
         # pmod(x, 0) only fails at job runtime (ANSI DIVIDE_BY_ZERO,
         # mid-stage, no argument hint) — fail at call time instead
         raise ValueError(f"n_salts must be positive, got {n_salts}")
+    reserved = {"_salt", "_rn1", "rank_in_group"} & set(df.columns)
+    if reserved:
+        # withColumn would silently REPLACE these (and the default
+        # salt_key would then hash the replaced value) — wrong survivor
+        # sets, no error. Rename before calling.
+        raise ValueError(
+            f"cap_per_group reserves column name(s) {sorted(reserved)}; "
+            "rename them in the input"
+        )
     from pyspark.sql import Window as W
 
     key = salt_key if salt_key is not None else F.xxhash64(*df.columns)

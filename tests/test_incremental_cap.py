@@ -170,6 +170,14 @@ class TestCapPerGroup:
         with pytest.raises(ValueError):
             cap_per_group(self._df(spark), "grp", [F.col("q")], n=1, n_salts=0)
 
+    def test_rejects_reserved_column_names(self, spark):
+        # withColumn would silently REPLACE these and corrupt the
+        # survivor set (ADVICE r3) — must be an error instead
+        for bad in ("_salt", "_rn1", "rank_in_group"):
+            df = self._df(spark).withColumn(bad, F.lit(1))
+            with pytest.raises(ValueError, match=bad):
+                cap_per_group(df, "grp", [F.col("q")], n=1)
+
 
 class TestCrossOpConsistency:
     """dedup_against_corpus must agree with minhash_lsh_pairs: a new

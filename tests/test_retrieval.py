@@ -144,6 +144,18 @@ class TestHybrid:
         ranked = sorted(out, key=lambda r: (-r["hybrid6"], r["doc_id"]))
         assert [r["rank"] for r in ranked] == list(range(1, len(out) + 1))
 
+    def test_missing_query_vec_id_fails_fast(self, spark):
+        # a typo'd vec id must raise, not silently return zero rows
+        # (the broadcast cross join against an empty qv empties
+        # everything) — ADVICE r3
+        import pytest
+
+        from raptor_spark.functions.retrieval import hybrid_topk
+
+        docs, embs = self._tables(spark)
+        with pytest.raises(ValueError, match="query_vec_id"):
+            hybrid_topk(docs, embs, ["spark"], query_vec_id=999, k=3)
+
     def test_embeddings_side_never_shuffles(self, spark):
         from raptor_spark.functions.retrieval import hybrid_topk
 

@@ -235,6 +235,33 @@ class TestMultimodal:
         assert [r["frame_ts_ms"] for r in one] == [0, 1000, 2000, 3000]
         assert [r["frame_idx"] for r in one] == [0, 1, 2, 3]
 
+    def test_null_meta_and_payload_survive(self, spark):
+        """A NULL meta struct (not just NULL payload) must not crash
+        the Arrow batch (ADVICE r3): resize passes the row through
+        untouched; sample_frames emits no frames for it."""
+        from raptor_spark.functions.multimodal import resize_images, sample_frames
+
+        media = spark.createDataFrame(
+            [
+                (1, "image", bytearray(b"abcdef" * 50), {"width": 100, "height": 80, "duration_ms": 0}),
+                (2, "image", None, None),                       # all-NULL media
+                (3, "video", bytearray(b"xy" * 300), None),     # NULL meta only
+                (4, "video", None, {"width": 1, "height": 1, "duration_ms": 2500}),
+                (5, "video", bytearray(b"ok" * 300),
+                 {"width": 1, "height": 1, "duration_ms": None}),  # NULL field
+            ],
+            "media_id long, media_type string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:int>",
+        )
+        rows = {r["media_id"]: r for r in resize_images(media, 32, 32).collect()}
+        assert len(rows) == 5                       # nothing dropped
+        assert rows[1]["meta"]["width"] <= 32       # real row still resized
+        assert rows[2]["payload"] is None and rows[2]["meta"] is None
+        assert rows[3]["meta"] is None              # passed through untouched
+        assert rows[5]["meta"]["duration_ms"] is None
+        frames = sample_frames(media, every_ms=1000).collect()
+        assert frames == []                         # no decodable video rows
+
     def test_batching_preserved(self, spark):
         """mapInPandas receives pandas batches — verify the iterator
         contract (multiple input batches, arbitrary yield shape)."""

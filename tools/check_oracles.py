@@ -5,8 +5,10 @@ order-insensitive value hash (columns sorted by name, rows sorted,
 floats rounded to 9 significant-ish decimals).
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
-Set SPARK_GRAFT_EXACT=1 for the driver-style gate (floats must be
-BIT-equal after round-to-6 canonicalization, not allclose).
+DEFAULT is the driver-style EXACT gate (floats BIT-equal after
+round-to-6 canonicalization). Set SPARK_GRAFT_EXACT=0 to loosen to
+allclose(1e-6) — diagnostics only; the driver's gate is bit-equal, and
+tolerance mode silently passed the round-1 salted-float bug.
 """
 
 from __future__ import annotations
@@ -84,7 +86,9 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    exact = os.environ.get("SPARK_GRAFT_EXACT", "0") == "1"
+    # EXACT is the default: local runs must not silently pass what the
+    # driver's bit-equal gate would fail (round-2 lesson). "0" loosens.
+    exact = os.environ.get("SPARK_GRAFT_EXACT", "1") == "1"
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
