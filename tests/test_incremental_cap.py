@@ -285,6 +285,45 @@ class TestTokenBudgetSample:
         b = [r for r in out if r["source"] == "b"]
         assert len(b) == 4  # budget larger than the source: all kept
 
+    def test_zero_budget_and_giant_first_doc(self, spark):
+        """Edge shapes from the adversarial-gate extension: a budget of
+        0 admits nothing (cum-n < 0 never holds); a doc bigger than the
+        ENTIRE budget is kept iff it is the hash-order head (greedy
+        crossing rule at the extreme), and everything after it drops."""
+        from raptor_spark.functions.sampling import sample_to_token_budget
+
+        out = sample_to_token_budget(
+            self._docs(spark), {"a": 0, "b": 1000}
+        ).collect()
+        assert not [r for r in out if r["source"] == "a"]
+
+        rows = [(r["doc_id"], r["source"], r["n_tokens"])
+                for r in self._docs(spark).collect()]
+        a_rows = [(self._key(d), d, t) for d, s, t in rows if s == "a"]
+        head = min(a_rows)[1]
+        giant = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in sample_to_token_budget(
+                self._docs(spark).withColumn(
+                    "n_tokens",
+                    F.when(F.col("doc_id") == head, F.lit(10_000)).otherwise(
+                        F.col("n_tokens")
+                    ),
+                ),
+                {"a": 12},
+            ).collect()
+        }
+        assert list(giant) == [head]
+
+    def test_single_doc_source(self, spark):
+        from raptor_spark.functions.sampling import sample_to_token_budget
+
+        docs = spark.createDataFrame(
+            [(1, "solo", 7)], "doc_id long, source string, n_tokens long"
+        )
+        out = sample_to_token_budget(docs, {"solo": 3}).collect()
+        assert [(r["doc_id"], r["cum_tokens"]) for r in out] == [(1, 7)]
+
     def test_rejects_nonpositive_blocks(self, spark):
         from raptor_spark.functions.sampling import sample_to_token_budget
 

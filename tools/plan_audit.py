@@ -291,20 +291,79 @@ NOTES = {
 BOUNDED_WINDOW = {"pack_sequences", "tokenize_corpus", "hybrid_search"}
 
 
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a plan line (nesting-aware)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def partitionless_windows(plan: str) -> list[str]:
+    """Window operators with NO partition spec — the single-reducer
+    scale-killer. Spark 4.1 OMITS empty lists from the Window print
+    (verified on this JVM) instead of printing ``[]``:
+
+      3 groups  -> [exprs], [partition], [order]   (safe)
+      2 groups  -> [exprs], [partition]            (safe, unordered)
+                OR [exprs], [order]                (GLOBAL ordered — flag)
+      1 group   -> [exprs]                         (GLOBAL unordered — flag)
+
+    The two-group forms are distinguished by the sort-direction
+    keywords, which only ever appear in an order spec. The round-3
+    detector expected the literal ``, []`` form and was dead on this
+    Spark version — it reported 0 hits while runtime
+    ``WARN WindowExec: No Partition Defined`` fired.
+
+    Returns ``(unbounded, limit_fed)``: a global window whose direct
+    child is a Limit-type operator (``TakeOrderedAndProject`` /
+    ``*Limit``) runs over a ≤ k-row frame by construction — reported
+    separately so PLANS.md can label it honestly instead of flagging
+    it as the single-reducer scale-killer."""
+    unbounded, limit_fed = [], []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        # exact node name: WindowGroupLimit prints different group
+        # semantics, and a global one always precedes a global Window
+        # that IS matched here
+        m = re.search(r"\bWindow \[", line)
+        if not m:
+            continue
+        groups = _bracket_groups(line[m.start():])
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC) NULLS (FIRST|LAST)\b", groups[1]
+        ):
+            continue  # [exprs], [partition] — partitioned, unordered
+        child = "\n".join(lines[i + 1 : i + 3])
+        if re.search(r"TakeOrderedAndProject|GlobalLimit|CollectLimit", child):
+            limit_fed.append(line.strip()[:160])
+        else:
+            unbounded.append(line.strip()[:160])
+    return unbounded, limit_fed
+
+
 def audit(name: str, df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchange = len(re.findall(r"\bExchange hashpartitioning", plan))
     n_bcast = len(re.findall(r"\bBroadcastExchange", plan))
-    single_part_window = bool(
-        re.search(r"Window \[[^\]]*\], \[\]", plan)
-    ) or "windowspecdefinition()" in plan
+    unbounded, limit_fed = partitionless_windows(plan)
     n_codegen = len(re.findall(r"\*\(\d+\)", plan))
     scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     return {
         "shuffles": n_exchange,
         "broadcasts": n_bcast,
-        "single_partition_window": single_part_window,
+        "unbounded_global_windows": unbounded,
+        "limit_fed_global_windows": limit_fed,
         "codegen_stages": n_codegen,
         "pushed_filters": [s for s in scans if s][:3],
         "read_cols": [len(s.split(",")) for s in read_schemas],
@@ -327,10 +386,16 @@ def main() -> None:
     for name in NOTES:
         df = QUERIES[name](spark, SF)
         a = audit(name, df)
-        if a["single_partition_window"]:
+        if a["unbounded_global_windows"]:
+            # BOUNDED_WINDOW: frames bounded by construction but not
+            # limit-fed in the plan text (pack's n_blocks-row offsets,
+            # tokenize's truncated vocab, hybrid's checkpointed k_lex
+            # candidates) — documented in each query's note below
             flag = (
                 "bounded (agg frame)" if name in BOUNDED_WINDOW else "**YES**"
             )
+        elif a["limit_fed_global_windows"]:
+            flag = "bounded (limit-fed)"
         else:
             flag = "no"
         lines.append(
