@@ -244,16 +244,15 @@ def kmeans_fit(
         if sample_n < k:
             raise ValueError(f"sample_n={sample_n} < k={k}")
         # orderBy+limit → TakeOrderedAndProject (top-N per partition,
-        # merged once — never a full sort); the bounded result is
-        # re-spread across the executors and kept hot for the
-        # iteration loop
-        train = (
-            df.select(F.col(id_col), v)
-            .orderBy(id_col)
-            .limit(sample_n)
-            .repartition(df.sparkSession.sparkContext.defaultParallelism)
-            .cache()
-        )
+        # merged once — never a full sort); kept hot for the iteration
+        # loop. Deliberately NOT repartitioned: a few-hundred-row
+        # sample on one task is microseconds of compute, while
+        # re-spreading it costs a shuffle up front and turns every
+        # per-iteration job into a parallelism-wide task storm (the
+        # round-3 isolated 2x slowdown — confirmed by the same-JVM
+        # A/B in tools/ab_kmeans.py). The quantized integer sums are
+        # order-independent, so partitioning never changes the result.
+        train = df.select(F.col(id_col), v).orderBy(id_col).limit(sample_n).cache()
     init = (
         train.select(F.col(id_col).alias("_cid"), v.alias("_c"))
         .orderBy("_cid")
