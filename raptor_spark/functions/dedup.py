@@ -934,3 +934,110 @@ def fuzzy_dedup_corpus(
     """
     pairs = minhash_lsh_pairs(df, id_col, text_col=text_col, k=k, bands=bands)
     return keep_cluster_representatives(df, pairs, id_col)
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring scrub — the span-level dedup of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"), token-shingle form: every OVERLAPPING ``k``-token
+    span whose exact text occurs ``min_count``+ times in the corpus
+    (across documents OR stuttered inside one) is cut from every
+    document, and the surviving tokens are stitched back in order.
+    The paper's suffix array finds repeats of any length >= threshold;
+    fixed-``k`` overlapping shingles are the shuffle-friendly
+    equivalent (a repeat of length L >= k is covered by its L-k+1
+    constituent shingles), trading the suffix array's global sort for
+    one hash aggregate.
+
+    Differs from ``remove_boilerplate_segments`` (non-overlapping
+    segments, distinct-doc cut = template/nav-bar removal): spans here
+    OVERLAP, so repeated text is removed wherever it starts, and
+    within-document stutter counts toward the cut.
+
+    Plan shape (holds at 100 TB): tokenize + shingle-hash map-side
+    (md5 of each k-token slice inside ``transform``, staged in its own
+    select against expression re-evaluation); ONE shuffle counts
+    occurrences per 60-bit hash (partial-agg combined — within-doc
+    repeats collapse map-side into the partial count); the repeated
+    set joins back to the exploded (doc, start, hash) stream on the
+    hash key (AQE broadcasts it when Zipf-small, plain shuffle
+    otherwise — never driver-collected); covered positions are a
+    per-doc ``sequence``-flatten, membership is an ``exists`` over the
+    staged token array (O(tokens x covered) per doc — bounded by doc
+    length, not corpus). No window anywhere.
+
+    Returns one row per input document:
+    ``(id_col, n_spans, n_removed, clean_text)`` — ``n_spans`` =
+    repeated k-shingle start positions, ``n_removed`` = tokens cut; an
+    untouched doc keeps its normalized text verbatim.
+    """
+    from .text import norm_ws
+
+    staged = df.select(
+        F.col(id_col),
+        F.split(norm_ws(F.coalesce(F.col(text_col), F.lit(""))), " ").alias(
+            "_toks"
+        ),
+    )
+    n = F.size("_toks")
+    # shingle hashes staged ONCE per row (own select: the array is
+    # multi-referenced below and md5-per-element is not cheap)
+    sh = staged.select(
+        id_col,
+        "_toks",
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda j: md5_long(
+                    F.concat_ws(" ", F.slice("_toks", j + 1, k))
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_sh"),
+    )
+    starts = sh.select(
+        id_col, F.posexplode("_sh").alias("_j", "_h")
+    )
+    repeated = (
+        starts.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= min_count)
+        .select("_h")
+    )
+    covered = (
+        starts.join(repeated, "_h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("_j")).alias("_starts"))
+        .select(
+            id_col,
+            F.size("_starts").alias("n_spans"),
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "_starts",
+                        lambda s: F.sequence(s, s + k - 1),
+                    )
+                )
+            ).alias("_cov"),
+        )
+    )
+    out = sh.join(covered, id_col, "left")
+    keep = F.filter(
+        "_toks", lambda t, i: ~F.array_contains("_cov", i)
+    )
+    return out.select(
+        id_col,
+        F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+        F.coalesce(F.size("_cov"), F.lit(0)).cast("int").alias("n_removed"),
+        F.when(F.col("_cov").isNull(), F.concat_ws(" ", "_toks"))
+        .otherwise(F.concat_ws(" ", keep))
+        .alias("clean_text"),
+    )

@@ -550,3 +550,56 @@ def remove_boilerplate_segments(
             ),
         ).alias("clean_text"),
     )
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL for URL-level dedup (the CCNet / Dolma
+    first-pass: one document per canonical URL before any content
+    hashing). Normalizations, applied in order, all pure JVM regex:
+
+    1. strip the fragment (``#...``),
+    2. drop tracking params (``utm_*``, ``gclid``, ``fbclid``) by
+       splitting the query on ``&`` and filtering (NOT regex-replace:
+       consecutive tracking params defeat a consumed-delimiter
+       pattern, and the portable alternative — lookbehind — does not
+       exist in DuckDB's RE2),
+    3. lowercase scheme + host ONLY (path/query case is significant),
+    4. fold ``http://`` to ``https://`` and strip a leading ``www.``,
+    5. strip trailing slashes from the path.
+
+    Mirrored by the DuckDB oracle (url_dedup) with the same
+    decompose-filter-reassemble steps — change both together. Every
+    step is a JVM regex / higher-order array op (map-only, no
+    shuffle). Returns NULL for NULL input.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    base = F.regexp_replace(u, r"#.*$", "")
+    scheme_host = F.regexp_extract(
+        base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1
+    )
+    path = F.regexp_extract(
+        base, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    qs = F.regexp_extract(base, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[^=]*|gclid|fbclid)(=|$)"),
+    )
+    # two literal-replacement steps (no group backrefs: Spark uses $1,
+    # DuckDB \1 — literals keep the oracle SQL byte-comparable)
+    head = F.regexp_replace(
+        F.regexp_replace(F.lower(scheme_host), r"^http://", "https://"),
+        r"^https://www\.",
+        "https://",
+    )
+    return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            head,
+            F.regexp_replace(path, r"/+$", ""),
+            F.when(
+                F.size(kept) > 0,
+                F.concat(F.lit("?"), F.array_join(kept, "&")),
+            ).otherwise(F.lit("")),
+        )
+    )

@@ -1433,6 +1433,95 @@ def q_cust_without_orders(spark, sf_dir):
     )
 
 
+def q_repeated_span_scrub(spark, sf_dir):
+    """Exact repeated-substring scrub (Lee et al. 2021, overlapping
+    6-token shingle form): spans whose exact text occurs >= 2 times in
+    the corpus — across docs or stuttered within one — are cut from
+    every document. Every 7th doc gets a deterministic shared span and
+    every 11th a within-doc stutter so parity exercises both removal
+    paths (the synthetic corpus also repeats organically — both
+    engines see the identical text). One shuffle on the shingle hash,
+    one per-doc regroup; membership tests stay inside the staged token
+    array. See functions/dedup.py scrub_repeated_spans for the 100 TB
+    plan shape."""
+    from .functions.dedup import scrub_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" copyspan alpha beta gamma delta epsilon"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" buzz" * 12)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return scrub_repeated_spans(docs, k=6, min_count=2)
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup — the CCNet/Dolma first pass: one
+    document per canonical URL before any content hashing. The
+    synthetic corpus has no organic URLs, so each doc gets a
+    deterministic URL whose surface form varies by doc_id % 4
+    (WWW+case+trailing slash / utm params / fragment / http scheme)
+    while the canonical target depends only on (doc_id % 23,
+    doc_id % 5) — every variant group must collapse. Canonicalization
+    is map-only (functions/text.py canonical_url); the dedup is ONE
+    count aggregate on the canonical key with min-id as the
+    deterministic keeper."""
+    from .functions.text import canonical_url
+
+    d = F.col("doc_id")
+    g = (d % 23).cast("string")
+    p = (d % 5).cast("string")
+    url = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("https://WWW.Site"), g, F.lit(".example/Page"), p,
+                F.lit("/"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("https://site"), g, F.lit(".example/Page"), p,
+                F.lit("?utm_source=x&utm_medium=m"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("https://site"), g, F.lit(".example/Page"), p,
+                F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://site"), g, F.lit(".example/Page"), p,
+                F.lit("?a=1&gclid=z&b=2"),
+            )
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", canonical_url(url).alias("canon_url")
+    )
+    return (
+        docs.groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
 # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
 # checks the FIRST 50 entries only (verified round 3: CORRECTNESS_r03
 # keys == positions 0-49). Window policy: (1) never-yet-driver-checked
@@ -1442,6 +1531,8 @@ def q_cust_without_orders(spark, sf_dir):
 # rotate to the tail. New queries go in group (1).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- group 1: never driver-checked before round 4 ------------------
+    "repeated_span_scrub": q_repeated_span_scrub,
+    "url_dedup": q_url_dedup,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
@@ -2100,6 +2191,95 @@ _LEV_SIM = (
 
 
 ORACLE_SQL: dict[str, str] = {
+    # overlapping 6-token shingles; within-doc stutter counts toward
+    # the >=2 cut (count(*), not count(DISTINCT doc_id)) — mirrors
+    # functions.dedup.scrub_repeated_spans exactly
+    "repeated_span_scrub": r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+                THEN text || ' copyspan alpha beta gamma delta epsilon'
+              WHEN doc_id % 11 = 0 THEN text || repeat(' buzz', 12)
+              ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                          '\s+', ' ', 'g')), ' ') AS t
+  FROM aug
+), sh AS (
+  SELECT doc_id, i AS j,
+         CAST('0x' || substr(md5(array_to_string(t[i+1 : i+6], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM toks, UNNEST(range(len(t) - 5)) AS u(i)
+), rep AS (
+  SELECT h FROM sh GROUP BY h HAVING count(*) >= 2
+), nsp AS (
+  SELECT doc_id, count(*) AS n_spans FROM sh JOIN rep USING (h) GROUP BY doc_id
+), cov AS (
+  SELECT DISTINCT s.doc_id, s.j + d AS pos
+  FROM sh s JOIN rep USING (h), UNNEST(range(6)) AS dd(d)
+), pos AS (
+  SELECT doc_id, i AS pos, t[i+1] AS tok
+  FROM toks, UNNEST(range(len(t))) AS u(i)
+)
+SELECT p.doc_id,
+       CAST(coalesce(max(n.n_spans), 0) AS INT) AS n_spans,
+       CAST(coalesce(sum(CASE WHEN c.pos IS NOT NULL THEN 1 END), 0)
+            AS INT) AS n_removed,
+       coalesce(string_agg(CASE WHEN c.pos IS NULL THEN p.tok END, ' '
+                           ORDER BY p.pos), '') AS clean_text
+FROM pos p
+LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
+LEFT JOIN nsp n ON n.doc_id = p.doc_id
+GROUP BY p.doc_id
+""",
+    # decompose-filter-reassemble mirrors functions.text.canonical_url
+    # step for step (no group backrefs — RE2 portability)
+    "url_dedup": r"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://WWW.Site' || CAST(doc_id % 23 AS VARCHAR)
+                  || '.example/Page' || CAST(doc_id % 5 AS VARCHAR) || '/'
+      WHEN 1 THEN 'https://site' || CAST(doc_id % 23 AS VARCHAR)
+                  || '.example/Page' || CAST(doc_id % 5 AS VARCHAR)
+                  || '?utm_source=x&utm_medium=m'
+      WHEN 2 THEN 'https://site' || CAST(doc_id % 23 AS VARCHAR)
+                  || '.example/Page' || CAST(doc_id % 5 AS VARCHAR)
+                  || '#frag'
+      ELSE 'http://site' || CAST(doc_id % 23 AS VARCHAR)
+           || '.example/Page' || CAST(doc_id % 5 AS VARCHAR)
+           || '?a=1&gclid=z&b=2'
+    END AS url
+  FROM documents
+), comp AS (
+  SELECT doc_id,
+    regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+      AS scheme_host,
+    regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS path,
+    regexp_extract(base, '\?(.*)$', 1) AS qs
+  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS base FROM urls)
+), canon AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(lower(scheme_host),
+                                  '^http://', 'https://'),
+                   '^https://www\.', 'https://')
+    || regexp_replace(path, '/+$', '')
+    || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+            ELSE '' END AS canon_url
+  FROM (
+    SELECT *,
+           list_filter(string_split(qs, '&'),
+                       p -> p <> '' AND NOT regexp_matches(
+                           p, '^(utm_[^=]*|gclid|fbclid)(=|$)')) AS kept
+    FROM comp
+  )
+)
+SELECT canon_url, min(doc_id) AS keeper_doc_id, count(*) AS n_dups
+FROM canon GROUP BY canon_url
+""",
     "pit_asof_join": """
 WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
 -- same-ts feature rows collapse to the highest event_id BEFORE the
