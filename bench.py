@@ -92,6 +92,8 @@ HEADLINE = [
     "quality_classifier",   # distributed-GD linear quality filter
     "hybrid_search",        # BM25 recall -> cosine re-rank
     "budget_sample",        # per-source token-budget greedy fill
+    "repeated_span_scrub",  # exact repeated-substring scrub (Lee et al.)
+    "url_dedup",            # URL-canonicalization dedup (CCNet first pass)
 ]
 
 

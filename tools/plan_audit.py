@@ -269,6 +269,22 @@ NOTES = {
         "the two-level grouping exactly equal to the oracle's naive "
         "form."
     ),
+    "repeated_span_scrub": (
+        "Exact repeated-substring scrub: shingle hashes are computed "
+        "map-side inside transform (staged in their own select), ONE "
+        "hash-key exchange counts occurrences (partial-agg combined), "
+        "the repeated set joins back on the hash (AQE broadcasts it "
+        "when Zipf-small), and coverage flattens per doc — membership "
+        "tests run inside the staged token array, never a join per "
+        "position. No window anywhere; the corpus never sorts."
+    ),
+    "url_dedup": (
+        "URL canonicalization is map-only (JVM regex + query-param "
+        "list filter); the dedup is ONE count aggregate on the "
+        "canonical key with min-id keeper. At 100 TB the canonical "
+        "key is near-unique so the exchange carries ~1 row per URL "
+        "after map-side combine."
+    ),
     "hybrid_search": (
         "Two-stage retrieval: bm25_topk supplies <= k_lex candidates "
         "(tokens shuffle once, query-term-filtered; top-k via "
