@@ -979,7 +979,13 @@ def scrub_repeated_spans(
     """
     from .text import norm_ws
 
-    staged = df.select(
+    # heavy per-row compute (md5 x shingles) → spread rows FIRST: a
+    # small freshly-scanned table may be a single input split, which
+    # serializes the whole map side through one task. Explicit count —
+    # a bare repartition(col) gets AQE-coalesced back to 1 when the
+    # bytes are small even though per-row CPU is the real cost.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    staged = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col),
         F.split(norm_ws(F.coalesce(F.col(text_col), F.lit(""))), " ").alias(
             "_toks"
@@ -1029,7 +1035,10 @@ def scrub_repeated_spans(
             ).alias("_cov"),
         )
     )
-    out = sh.join(covered, id_col, "left")
+    # join the PRE-shingle frame: the output side only needs the token
+    # array, and joining `sh` would re-run the md5-per-shingle
+    # transform a second time over the whole corpus
+    out = staged.join(covered, id_col, "left")
     keep = F.filter(
         "_toks", lambda t, i: ~F.array_contains("_cov", i)
     )
