@@ -1504,9 +1504,13 @@ def q_url_dedup(spark, sf_dir):
             ),
         )
         .otherwise(
+            # tracking-ONLY query + http scheme: must collapse with the
+            # other three variants, which makes the http->https fold
+            # and the full-query-strip observable as a grouping error,
+            # not just as a string both engines agree on
             F.concat(
                 F.lit("http://site"), g, F.lit(".example/Page"), p,
-                F.lit("?a=1&gclid=z&b=2"),
+                F.lit("?gclid=z&utm_term=t"),
             )
         )
     )
@@ -2250,7 +2254,7 @@ WITH urls AS (
                   || '#frag'
       ELSE 'http://site' || CAST(doc_id % 23 AS VARCHAR)
            || '.example/Page' || CAST(doc_id % 5 AS VARCHAR)
-           || '?a=1&gclid=z&b=2'
+           || '?gclid=z&utm_term=t'
     END AS url
   FROM documents
 ), comp AS (

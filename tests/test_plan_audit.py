@@ -9,12 +9,15 @@ JVM: a deliberately global window MUST be flagged, partitioned windows
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-sys.path.insert(0, "tools")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools")
+)
 from plan_audit import partitionless_windows  # noqa: E402
 
 
@@ -63,6 +66,21 @@ def test_mixed_plan_flags_only_the_global_one(spark):
     unbounded, limit_fed = partitionless_windows(_plan(df))
     assert len(unbounded) == 1 and limit_fed == []
     assert "row_number" in unbounded[0]
+
+
+def test_limit_on_one_join_side_does_not_launder_global_window(spark):
+    """A Limit feeding ONE side of a join below the window does not
+    bound the window's frame — must stay flagged unbounded even when
+    'TakeOrderedAndProject' appears within the lookahead lines."""
+    small = spark.range(10).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    ).orderBy(F.col("v").desc()).limit(5)
+    big = _base(spark)
+    joined = big.join(small, "k").withColumn(
+        "r", F.row_number().over(W.orderBy(F.col("id").desc()))
+    )
+    unbounded, limit_fed = partitionless_windows(_plan(joined))
+    assert unbounded, "global window over a joined frame must stay flagged"
 
 
 def test_limit_fed_global_window_classified_bounded(spark):

@@ -62,16 +62,20 @@ COPY (
     (900008, 'edge case see https:///nohost and http://:99/x end')
   ) t(doc_id, text)
   UNION ALL
-  -- packing/budget-fill stress (round-4): a 2000-token doc in a
-  -- BUDGETED source (src2, budget 1900) — longer than pack_sequences'
-  -- seq_len=512 (spans 4+ sequences and multiple hash blocks) AND
-  -- bigger than its source's entire token budget, so the greedy
-  -- crossing-doc rule fires at the extreme (taken iff it is the
-  -- hash-order head; everything hash-after it must drop)
-  SELECT 900009, trim(repeat('tok ', 2000)), 'en', 'src2', 7999
+  -- packing/budget-fill stress (round-4): a 2500-token doc in a
+  -- BUDGETED source (src2, budget 1500+400*(2%4)=2300 per queries.py
+  -- _BUDGETS; budget_sample recounts tokens from text, ignoring the
+  -- n_chars column) — longer than pack_sequences' seq_len=512 (spans
+  -- 4+ sequences and multiple hash blocks) AND bigger than its
+  -- source's ENTIRE token budget, so the greedy crossing-doc rule
+  -- fires at the extreme (taken iff it is the hash-order head;
+  -- everything hash-after it must drop)
+  SELECT 900009, trim(repeat('tok ', 2500)), 'en', 'src2', 9999
   UNION ALL
-  -- single-document source: the per-source prefix sum must not
-  -- assume >1 block/doc per source (and unbudgeted sources drop)
+  -- unbudgeted source drops BEFORE the prefix sum (the budget filter
+  -- path; the single-doc-source prefix-sum shape itself is pinned by
+  -- tests/test_incremental_cap.py::test_single_doc_source, since every
+  -- budgeted source here has many docs)
   SELECT 900010, 'solo source lone doc', 'en', 'solo_src', 20
 ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
 """)

@@ -94,8 +94,11 @@ def main() -> None:
     p.add_argument("--n-convs", type=int, default=20_000_000)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--cores", type=int, default=8)
-    p.add_argument("--shuffle-partitions", type=int, default=128)
-    p.add_argument("--heap", default="16g")
+    # defaults = the measured-best 480M config (256 parts / 8g heap);
+    # 16g triggers the ParallelGC pathology documented below and 128
+    # partitions was the worst measured row — see BENCH/BASELINE.md
+    p.add_argument("--shuffle-partitions", type=int, default=256)
+    p.add_argument("--heap", default="8g")
     args = p.parse_args()
 
     if args.run:

@@ -21,11 +21,15 @@ import multiprocessing as mp
 import time
 
 
-def worker(seconds: float, out) -> None:
+def worker(seconds: float, out, barrier) -> None:
     import numpy as np
 
     x = np.ones(512 * 1024 * 1024 // 8, dtype=np.float64)
     n_bytes = x.nbytes
+    # all workers finish fork/import/allocation BEFORE anyone streams —
+    # otherwise the parent's wall includes staggered setup phases where
+    # fewer than n workers run, deflating high-proc-count figures
+    barrier.wait()
     t_end = time.perf_counter() + seconds
     touched = 0
     while time.perf_counter() < t_end:
@@ -36,16 +40,19 @@ def worker(seconds: float, out) -> None:
 
 def measure(n_procs: int, seconds: float) -> float:
     q: mp.Queue = mp.Queue()
+    barrier = mp.Barrier(n_procs + 1)
     procs = [
-        mp.Process(target=worker, args=(seconds, q)) for _ in range(n_procs)
+        mp.Process(target=worker, args=(seconds, q, barrier))
+        for _ in range(n_procs)
     ]
-    t0 = time.perf_counter()
     for p in procs:
         p.start()
+    barrier.wait()
+    t0 = time.perf_counter()
     total = sum(q.get() for _ in procs)
+    wall = time.perf_counter() - t0
     for p in procs:
         p.join()
-    wall = time.perf_counter() - t0
     return total / wall / 1e9
 
 

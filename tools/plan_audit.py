@@ -322,7 +322,7 @@ def _bracket_groups(s: str) -> list[str]:
     return groups
 
 
-def partitionless_windows(plan: str) -> list[str]:
+def partitionless_windows(plan: str) -> tuple[list[str], list[str]]:
     """Window operators with NO partition spec — the single-reducer
     scale-killer. Spark 4.1 OMITS empty lists from the Window print
     (verified on this JVM) instead of printing ``[]``:
@@ -359,7 +359,14 @@ def partitionless_windows(plan: str) -> list[str]:
             r"\b(ASC|DESC) NULLS (FIRST|LAST)\b", groups[1]
         ):
             continue  # [exprs], [partition] — partitioned, unordered
+        # only trust a Limit that sits on the window's LINEAR input
+        # chain: stop the 2-line lookahead at the first multi-input
+        # operator — a limit feeding one side of a join below the
+        # window does NOT bound the window's frame
         child = "\n".join(lines[i + 1 : i + 3])
+        m_join = re.search(r"Join|Union|Cartesian", child)
+        if m_join:
+            child = child[: m_join.start()]
         if re.search(r"TakeOrderedAndProject|GlobalLimit|CollectLimit", child):
             limit_fed.append(line.strip()[:160])
         else:
