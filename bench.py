@@ -94,6 +94,7 @@ HEADLINE = [
     "budget_sample",        # per-source token-budget greedy fill
     "repeated_span_scrub",  # exact repeated-substring scrub (Lee et al.)
     "url_dedup",            # URL-canonicalization dedup (CCNet first pass)
+    "bloom_dedup",          # mergeable Bloom membership (vs ground truth)
 ]
 
 

@@ -102,3 +102,111 @@ def cms_estimate(
         .groupBy(*other)
         .agg(F.min("cell").alias("est_n"))
     )
+
+
+def bloom_hashes(item: Column) -> tuple[Column, Column]:
+    """The two base hashes for double-hashing Bloom positions
+    (Kirsch-Mitzenmacher: pos_i = h1 + i*h2 gives k independent-enough
+    probes from two hashes). md5-derived like every sketch hash here,
+    so DuckDB replays them bit-for-bit. STAGE these in their own
+    select before building the position array — inlined in the
+    transform lambda they re-evaluate (2 md5s x k per item)."""
+    return (
+        md5_long(F.concat(F.lit("bloomA|"), item.cast("string"))),
+        md5_long(F.concat(F.lit("bloomB|"), item.cast("string"))),
+    )
+
+
+def _bloom_pos_arr(h1: Column, h2: Column, k: int, m_bits: int) -> Column:
+    # reduce mod m BEFORE the i* multiply: h1/h2 are 60-bit and ANSI
+    # mode THROWS on bigint overflow; post-reduction i*(h2%m) tops out
+    # at k*m — tiny
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: ((h1 % m_bits + i * (h2 % m_bits)) % m_bits).cast("int"),
+    )
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str,
+    m_bits: int = 65536,
+    k: int = 7,
+) -> DataFrame:
+    """Distributed mergeable Bloom filter: one row per OCCUPIED 63-bit
+    word — ``(word, bits)`` with ``word = pos div 63``. 63 bits per
+    long (not 64) so the set-bit shift never reaches the sign bit:
+    ``1 << 63`` is engine-defined territory, ``1 << 62`` is portable.
+
+    Scale shape (why a pipeline carries a Bloom instead of a
+    fingerprint join for membership): each item explodes to k
+    positions, and the bit_or aggregate map-side-combines every
+    partition down to <= m_bits/63 partial rows — the ONLY shuffle
+    moves <= partitions * m/63 rows regardless of corpus size, and
+    the finished filter (<= m/63 longs) broadcasts for probe joins.
+    Merging two corpora's filters = union + re-groupBy bit_or.
+    Guarantee: no false negatives by construction; false-positive
+    rate ~ (1 - e^{-kn/m})^k.
+    """
+    if m_bits <= 0 or k <= 0:
+        raise ValueError(f"m_bits/k must be > 0, got {m_bits}/{k}")
+    staged = items.select(
+        *(c.alias(n) for c, n in zip(bloom_hashes(F.col(item_col)),
+                                     ("_h1", "_h2")))
+    )
+    pos = staged.select(
+        F.explode(
+            _bloom_pos_arr(F.col("_h1"), F.col("_h2"), k, m_bits)
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("pos div 63").cast("int").alias("word"),
+            # SQL form: F.shiftleft only takes a literal bit count
+            F.expr("shiftleft(cast(1 as bigint), pos % 63)").alias("_b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    batch: DataFrame,
+    item_col: str,
+    m_bits: int = 65536,
+    k: int = 7,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership probe of ``batch[item_col]`` against a built filter:
+    every one of the item's k bits must be set. The filter side is
+    <= m/63 rows — Spark broadcasts it (AQE picks BHJ without a
+    hint; the explicit broadcast pins it), so the probe is map-only
+    over the batch: explode k positions, broadcast-LEFT join the
+    words, bool_and the bit tests (an ABSENT word row = bit unset =
+    miss, via coalesce false). Returns batch columns + ``out_col``."""
+    staged = batch.select(
+        "*",
+        *(c.alias(n) for c, n in zip(bloom_hashes(F.col(item_col)),
+                                     ("_h1", "_h2"))),
+    )
+    probes = staged.select(
+        *batch.columns,
+        F.posexplode(
+            _bloom_pos_arr(F.col("_h1"), F.col("_h2"), k, m_bits)
+        ).alias("_i", "pos"),
+    ).select(
+        *batch.columns,
+        F.expr("pos div 63").cast("int").alias("word"),
+        (F.col("pos") % 63).alias("_bit"),
+    )
+    hit = F.coalesce(
+        F.expr("bits & shiftleft(cast(1 as bigint), _bit)") != 0,
+        F.lit(False),
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(*batch.columns, hit.alias("_hit"))
+        .groupBy(*batch.columns)
+        .agg(F.bool_and("_hit").alias(out_col))
+    )

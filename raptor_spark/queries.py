@@ -1526,6 +1526,39 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Bloom-filter membership dedup — the bounded-memory first pass
+    of streaming ingest (CMS + HLL + Bloom completes the mergeable-
+    sketch family): build the filter over the 'seen' corpus (every doc
+    except doc_id % 10 == 0), probe the held-out batch, and report the
+    Bloom verdict NEXT TO ground truth so the no-false-negative
+    guarantee is oracle-visible row by row. NULL-text docs are
+    filtered on BOTH sides (a null fingerprint has no positions).
+    Build = ONE bit_or aggregate (<= m/63 rows out, map-side
+    combined); probe = broadcast map-only join. The oracle replays
+    every hash, shift, and bit_or exactly."""
+    from .functions.sketches import bloom_build, bloom_probe
+    from .functions.text import fingerprint
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", fingerprint("text").alias("fp"))
+    )
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    bloom = bloom_build(corpus, "fp", m_bits=8192, k=5)
+    probed = bloom_probe(bloom, batch, "fp", m_bits=8192, k=5)
+    truth = corpus.select("fp").distinct().withColumn(
+        "true_dup", F.lit(True)
+    )
+    return probed.join(F.broadcast(truth), "fp", "left").select(
+        "doc_id",
+        "bloom_hit",
+        F.coalesce("true_dup", F.lit(False)).alias("true_dup"),
+    )
+
+
 # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
 # checks the FIRST 50 entries only (verified round 3: CORRECTNESS_r03
 # keys == positions 0-49). Window policy: (1) never-yet-driver-checked
@@ -1537,6 +1570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- group 1: never driver-checked before round 4 ------------------
     "repeated_span_scrub": q_repeated_span_scrub,
     "url_dedup": q_url_dedup,
+    "bloom_dedup": q_bloom_dedup,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
@@ -2237,6 +2271,45 @@ FROM pos p
 LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
 LEFT JOIN nsp n ON n.doc_id = p.doc_id
 GROUP BY p.doc_id
+""",
+    # replays every Bloom hash, shift, and bit_or exactly; 63 bits per
+    # word keeps 1<<bit off the sign bit in both engines
+    "bloom_dedup": r"""
+WITH d AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE text IS NOT NULL
+), corpus AS (
+  SELECT * FROM d WHERE doc_id % 10 <> 0
+), batch AS (
+  SELECT * FROM d WHERE doc_id % 10 = 0
+), cpos AS (
+  SELECT ((CAST('0x'||substr(md5('bloomA|'||fp),1,15) AS BIGINT) % 8192
+           + i * (CAST('0x'||substr(md5('bloomB|'||fp),1,15) AS BIGINT)
+                  % 8192)) % 8192) AS pos
+  FROM corpus, UNNEST(range(5)) AS u(i)
+), bloom AS (
+  SELECT pos // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+  FROM cpos GROUP BY 1
+), bpos AS (
+  SELECT doc_id, fp,
+         ((h1 % 8192 + i * (h2 % 8192)) % 8192) AS pos
+  FROM (SELECT doc_id, fp,
+               CAST('0x'||substr(md5('bloomA|'||fp),1,15) AS BIGINT) AS h1,
+               CAST('0x'||substr(md5('bloomB|'||fp),1,15) AS BIGINT) AS h2
+        FROM batch), UNNEST(range(5)) AS u(i)
+), hits AS (
+  SELECT p.doc_id, p.fp,
+         bool_and(coalesce(
+             (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT))) <> 0,
+             FALSE)) AS bloom_hit
+  FROM bpos p LEFT JOIN bloom b ON b.word = p.pos // 63
+  GROUP BY p.doc_id, p.fp
+)
+SELECT h.doc_id, h.bloom_hit, coalesce(t.true_dup, FALSE) AS true_dup
+FROM hits h
+LEFT JOIN (SELECT DISTINCT fp, TRUE AS true_dup FROM corpus) t USING (fp)
 """,
     # decompose-filter-reassemble mirrors functions.text.canonical_url
     # step for step (no group backrefs — RE2 portability)
