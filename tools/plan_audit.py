@@ -278,6 +278,16 @@ NOTES = {
         "tests run inside the staged token array, never a join per "
         "position. No window anywhere; the corpus never sorts."
     ),
+    "bloom_dedup": (
+        "Bloom build: k positions explode into ONE bit_or exchange "
+        "that map-side combines to <= m/63 occupied words; the "
+        "finished filter broadcasts, so the batch probe is map-only "
+        "(explode + broadcast-left join + bool_and regroup on the "
+        "batch key). The ground-truth join is a broadcast of the "
+        "distinct corpus fingerprints — at real scale the truth "
+        "column is dropped and ONLY the sketch path runs; it exists "
+        "here so the oracle can see the no-false-negative guarantee."
+    ),
     "url_dedup": (
         "URL canonicalization is map-only (JVM regex + query-param "
         "list filter); the dedup is ONE count aggregate on the "
