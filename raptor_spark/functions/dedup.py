@@ -970,7 +970,12 @@ def scrub_repeated_spans(
     otherwise — never driver-collected); covered positions are a
     per-doc ``sequence``-flatten, membership is an ``exists`` over the
     staged token array (O(tokens x covered) per doc — bounded by doc
-    length, not corpus). No window anywhere.
+    length, not corpus). No window anywhere. The corpus is scanned
+    and spread TWICE (shingle side + output side, an explicit
+    repartition each — 4 exchanges total in the audited plan): like
+    ``remove_boilerplate_segments``, a second embarrassingly-parallel
+    scan is cheaper at corpus scale than materializing the tokenized
+    corpus; callers with a small hot input can ``.cache()`` upstream.
 
     Returns one row per input document:
     ``(id_col, n_spans, n_removed, clean_text)`` — ``n_spans`` =

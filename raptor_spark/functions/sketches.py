@@ -119,11 +119,17 @@ def bloom_hashes(item: Column) -> tuple[Column, Column]:
 
 def _bloom_pos_arr(h1: Column, h2: Column, k: int, m_bits: int) -> Column:
     # reduce mod m BEFORE the i* multiply: h1/h2 are 60-bit and ANSI
-    # mode THROWS on bigint overflow; post-reduction i*(h2%m) tops out
-    # at k*m — tiny
+    # mode THROWS on bigint overflow; post-reduction i*step tops out
+    # at k*m — tiny. The step is FORCED ODD via 2*(h2 % (m/2)) + 1:
+    # with power-of-two m an even step (worst case h2 % m == 0) makes
+    # the k probes collapse onto few distinct bits, silently inflating
+    # the false-positive rate; an odd step is coprime to m so all k
+    # positions are distinct. Pure arithmetic (no bitwise-or) so the
+    # DuckDB oracle replays it verbatim.
+    step = (h2 % (m_bits // 2)) * 2 + 1
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: ((h1 % m_bits + i * (h2 % m_bits)) % m_bits).cast("int"),
+        lambda i: ((h1 % m_bits + i * step) % m_bits).cast("int"),
     )
 
 
@@ -144,13 +150,20 @@ def bloom_build(
     partition down to <= m_bits/63 partial rows — the ONLY shuffle
     moves <= partitions * m/63 rows regardless of corpus size, and
     the finished filter (<= m/63 longs) broadcasts for probe joins.
-    Merging two corpora's filters = union + re-groupBy bit_or.
+    Merging two corpora's filters = union + re-groupBy bit_or (the
+    ``m_bits``/``k`` columns are constants, so ``max`` carries them).
     Guarantee: no false negatives by construction; false-positive
-    rate ~ (1 - e^{-kn/m})^k.
+    rate ~ (1 - e^{-kn/m})^k. NULL items are EXCLUDED (a null has no
+    positions; they would otherwise form a junk NULL-word row).
+
+    The filter carries its parameters as constant ``m_bits``/``k``
+    columns so :func:`bloom_probe` can ASSERT it was built with the
+    geometry the probe is hashing for — probing with mismatched
+    parameters would otherwise produce silent false negatives.
     """
-    if m_bits <= 0 or k <= 0:
-        raise ValueError(f"m_bits/k must be > 0, got {m_bits}/{k}")
-    staged = items.select(
+    if m_bits <= 1 or k <= 0:
+        raise ValueError(f"m_bits must be > 1 and k > 0, got {m_bits}/{k}")
+    staged = items.where(F.col(item_col).isNotNull()).select(
         *(c.alias(n) for c, n in zip(bloom_hashes(F.col(item_col)),
                                      ("_h1", "_h2")))
     )
@@ -167,6 +180,10 @@ def bloom_build(
         )
         .groupBy("word")
         .agg(F.bit_or("_b").alias("bits"))
+        .select(
+            "word", "bits",
+            F.lit(m_bits).alias("m_bits"), F.lit(k).alias("k"),
+        )
     )
 
 
@@ -184,21 +201,40 @@ def bloom_probe(
     hint; the explicit broadcast pins it), so the probe is map-only
     over the batch: explode k positions, broadcast-LEFT join the
     words, bool_and the bit tests (an ABSENT word row = bit unset =
-    miss, via coalesce false). Returns batch columns + ``out_col``."""
-    staged = batch.select(
+    miss, via coalesce false). Returns batch columns + ``out_col``.
+
+    Contract: ``m_bits``/``k`` must match the build — the filter
+    carries them and every matched word row ASSERTS equality at
+    runtime (a mismatch would otherwise be silent false negatives).
+    Batch columns must uniquely key the rows (the regroup after the
+    explode collapses exact-duplicate rows to one) and must not use
+    the reserved working names. NULL items are excluded, mirroring
+    the build."""
+    reserved = {"_h1", "_h2", "pos", "word", "_bit", "_hit",
+                "bits", "m_bits", "k", out_col}
+    clash = reserved & set(batch.columns)
+    if clash:
+        raise ValueError(f"batch columns collide with reserved: {clash}")
+    staged = batch.where(F.col(item_col).isNotNull()).select(
         "*",
         *(c.alias(n) for c, n in zip(bloom_hashes(F.col(item_col)),
                                      ("_h1", "_h2"))),
     )
     probes = staged.select(
         *batch.columns,
-        F.posexplode(
+        F.explode(
             _bloom_pos_arr(F.col("_h1"), F.col("_h2"), k, m_bits)
-        ).alias("_i", "pos"),
+        ).alias("pos"),
     ).select(
         *batch.columns,
         F.expr("pos div 63").cast("int").alias("word"),
         (F.col("pos") % 63).alias("_bit"),
+    )
+    geom_ok = F.assert_true(
+        ((F.col("m_bits") == m_bits) & (F.col("k") == k))
+        | F.col("bits").isNull(),
+        F.lit(f"bloom_probe geometry mismatch: probe uses "
+              f"m_bits={m_bits}, k={k}"),
     )
     hit = F.coalesce(
         F.expr("bits & shiftleft(cast(1 as bigint), _bit)") != 0,
@@ -206,7 +242,7 @@ def bloom_probe(
     )
     return (
         probes.join(F.broadcast(bloom), "word", "left")
-        .select(*batch.columns, hit.alias("_hit"))
+        .select(*batch.columns, F.when(geom_ok.isNull(), hit).alias("_hit"))
         .groupBy(*batch.columns)
         .agg(F.bool_and("_hit").alias(out_col))
     )

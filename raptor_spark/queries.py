@@ -1597,11 +1597,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "store_read_pit": q_store_read_pit,
     "online_serve": q_online_serve,
     "hetero_keys": q_hetero_keys,
-    "pit_asof_join": q_pit_asof_join,
     "hll_accuracy": q_hll_accuracy,
     "window_approx_distinct_6h": q_window_approx_distinct_6h,
-    "two_phase_1h_10m": q_two_phase_1h_10m,
-    "salted_user_stats": q_salted_user_stats,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "pack_sequences": q_pack_sequences,
     "budget_sample": q_budget_sample,
@@ -1624,6 +1621,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     # ------------------- driver window boundary (50) -------------------
     # -- group 3: stable r2+r3 driver-green, pinned locally -------------
+    # (pit_asof_join / two_phase_1h_10m / salted_user_stats rotated
+    # here in round 4 to make room for the three new group-1 queries —
+    # each was driver-green in BOTH r2 and r3 and stays pinned by
+    # tools/check_oracles.py exact mode + the adversarial gate)
+    "pit_asof_join": q_pit_asof_join,
+    "two_phase_1h_10m": q_two_phase_1h_10m,
+    "salted_user_stats": q_salted_user_stats,
     "window_count_1h": q_window_count_1h,
     "window_multi_24h": q_window_multi_24h,
     "window_distinct_6h": q_window_distinct_6h,
@@ -2284,9 +2288,10 @@ WITH d AS (
 ), batch AS (
   SELECT * FROM d WHERE doc_id % 10 = 0
 ), cpos AS (
+  -- step forced odd: 2*(h2 % (m/2)) + 1, coprime to the power-of-two m
   SELECT ((CAST('0x'||substr(md5('bloomA|'||fp),1,15) AS BIGINT) % 8192
-           + i * (CAST('0x'||substr(md5('bloomB|'||fp),1,15) AS BIGINT)
-                  % 8192)) % 8192) AS pos
+           + i * ((CAST('0x'||substr(md5('bloomB|'||fp),1,15) AS BIGINT)
+                   % 4096) * 2 + 1)) % 8192) AS pos
   FROM corpus, UNNEST(range(5)) AS u(i)
 ), bloom AS (
   SELECT pos // 63 AS word,
@@ -2294,7 +2299,7 @@ WITH d AS (
   FROM cpos GROUP BY 1
 ), bpos AS (
   SELECT doc_id, fp,
-         ((h1 % 8192 + i * (h2 % 8192)) % 8192) AS pos
+         ((h1 % 8192 + i * ((h2 % 4096) * 2 + 1)) % 8192) AS pos
   FROM (SELECT doc_id, fp,
                CAST('0x'||substr(md5('bloomA|'||fp),1,15) AS BIGINT) AS h1,
                CAST('0x'||substr(md5('bloomB|'||fp),1,15) AS BIGINT) AS h2

@@ -42,11 +42,18 @@ def test_absent_items_mostly_miss(spark):
 
 def test_merge_is_union(spark):
     """bit_or merge of two corpora's filters == the filter of their
-    union (the mergeable-sketch property the build docstring sells)."""
+    union (the mergeable-sketch property the build docstring sells);
+    the constant geometry columns ride along via max."""
     a = bloom_build(_items(spark, 0, 50), "fp", m_bits=M, k=K)
     b = bloom_build(_items(spark, 50, 100), "fp", m_bits=M, k=K)
     merged = (
-        a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(
+            F.bit_or("bits").alias("bits"),
+            F.max("m_bits").alias("m_bits"),
+            F.max("k").alias("k"),
+        )
     )
     direct = bloom_build(_items(spark, 0, 100), "fp", m_bits=M, k=K)
     assert merged.exceptAll(direct).count() == 0
@@ -70,3 +77,34 @@ def test_rejects_nonpositive_params(spark):
         bloom_build(_items(spark, 0, 5), "fp", m_bits=0, k=K)
     with pytest.raises(ValueError):
         bloom_build(_items(spark, 0, 5), "fp", m_bits=M, k=0)
+
+
+def test_geometry_mismatch_raises_not_false_negatives(spark):
+    """Probing with different m_bits/k than the build must FAIL, not
+    silently report every member absent."""
+    from py4j.protocol import Py4JJavaError
+
+    bloom = bloom_build(_items(spark, 0, 50), "fp", m_bits=M, k=K)
+    bad = bloom_probe(bloom, _items(spark, 0, 10), "fp",
+                      m_bits=2 * M, k=K)
+    with pytest.raises(Exception) as exc:
+        bad.collect()
+    assert "geometry mismatch" in str(exc.value)
+
+
+def test_null_items_excluded_both_sides(spark):
+    docs = spark.createDataFrame(
+        [("item1",), (None,), ("item2",)], "fp string"
+    )
+    bloom = bloom_build(docs, "fp", m_bits=M, k=K)
+    assert bloom.where(F.col("word").isNull()).count() == 0
+    out = bloom_probe(bloom, docs, "fp", m_bits=M, k=K)
+    rows = {r["fp"]: r["bloom_hit"] for r in out.collect()}
+    assert rows == {"item1": True, "item2": True}  # null row excluded
+
+
+def test_reserved_name_collision_raises(spark):
+    bloom = bloom_build(_items(spark, 0, 5), "fp", m_bits=M, k=K)
+    batch = _items(spark, 0, 5).withColumn("bits", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_probe(bloom, batch, "fp", m_bits=M, k=K)

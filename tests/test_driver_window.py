@@ -23,6 +23,8 @@ NEVER_CHECKED_BEFORE_R4 = {
     "conv_rollup", "unigram_logprob", "bm25_search", "pricing_summary",
     "revenue_by_nation", "topk_orders_per_cust", "shipping_priority",
     "cust_without_orders",
+    # round-4 additions — never driver-checked until CORRECTNESS_r04
+    "repeated_span_scrub", "url_dedup", "bloom_dedup",
 }
 
 # rows-only by design (accuracy gated by the companion hll_accuracy row)

@@ -270,13 +270,17 @@ NOTES = {
         "form."
     ),
     "repeated_span_scrub": (
-        "Exact repeated-substring scrub: shingle hashes are computed "
-        "map-side inside transform (staged in their own select), ONE "
-        "hash-key exchange counts occurrences (partial-agg combined), "
-        "the repeated set joins back on the hash (AQE broadcasts it "
-        "when Zipf-small), and coverage flattens per doc — membership "
-        "tests run inside the staged token array, never a join per "
-        "position. No window anywhere; the corpus never sorts."
+        "Exact repeated-substring scrub, 4 exchanges: the corpus is "
+        "deliberately scanned+spread twice (explicit repartition on "
+        "each reference — shingle side and output side — same "
+        "two-scan rationale as boilerplate_scrub: an embarrassingly "
+        "parallel rescan beats materializing the tokenized corpus), "
+        "plus ONE hash-key count exchange (partial-agg combined) and "
+        "ONE per-doc coverage regroup. Shingle hashes are staged in "
+        "their own select (md5 once per shingle); the repeated set "
+        "joins back on the hash (broadcast when Zipf-small); span "
+        "membership tests run inside the staged token array, never a "
+        "join per position. No window anywhere; the corpus never sorts."
     ),
     "bloom_dedup": (
         "Bloom build: k positions explode into ONE bit_or exchange "
