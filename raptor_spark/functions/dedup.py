@@ -832,6 +832,7 @@ def verify_pairs_edit_distance(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    threshold: float | None = None,
 ) -> DataFrame:
     """Verification stage for LSH CANDIDATE pairs: exact edit-distance
     similarity on the normalized texts. MinHash/SimHash/containment
@@ -842,11 +843,27 @@ def verify_pairs_edit_distance(
     [0, 1] (1.0 = identical; two empty docs are identical). Adds
     ``lev`` (int) and ``sim6`` (round6) to the pair rows.
 
+    With a similarity ``threshold`` t, a pair can only pass when
+    ``lev <= floor((1 - t) * max_len)``; the DP is BOUNDED to that
+    band in two layers, both exactness-preserving for passing pairs:
+
+    1. length-gap prefilter: ``|len_a - len_b| > bound`` already
+       implies ``lev >= gap > bound`` — no DP at all (a pure skip:
+       the banded DP would return the same -1);
+    2. banded Levenshtein: Spark's three-arg ``levenshtein(a, b,
+       bound)`` runs the early-exit banded DP — O(bound * len)
+       instead of O(len_a * len_b) — and returns -1 past the bound.
+
+    Failed pairs keep their row with ``lev = -1`` / ``sim6 = NULL``
+    (the decision stage needs the verdict, not the exact distance of
+    a failure). Without ``threshold`` the full exact DP runs.
+
     Scale: Levenshtein is O(len_a * len_b) per pair — NEVER run it
-    all-pairs; feed it the (bounded, banded) LSH candidates only. The
-    two doc-text lookups are plain equi-joins on the doc id: at 100 TB
-    the pair side is small relative to the corpus, so AQE broadcasts
-    it into each lookup and the corpus never shuffles.
+    all-pairs; feed it the (bounded, banded) LSH candidates only, and
+    pass the pipeline's real accept threshold so the DP is banded.
+    The two doc-text lookups are plain equi-joins on the doc id: at
+    100 TB the pair side is small relative to the corpus, so AQE
+    broadcasts it into each lookup and the corpus never shuffles.
     """
     a = docs.select(
         F.col(id_col).alias("id_a"), _norm(F.col(text_col)).alias("_ta")
@@ -855,15 +872,33 @@ def verify_pairs_edit_distance(
         F.col(id_col).alias("id_b"), _norm(F.col(text_col)).alias("_tb")
     )
     joined = pairs.join(a, "id_a").join(b, "id_b")
+    denom = F.greatest(F.length("_ta"), F.length("_tb"))
     # equality short-circuit: LSH candidates are mostly EXACT dups, and
     # a byte compare is O(len) vs the O(len_a*len_b) DP — on the sf0.1
     # candidate set this cuts the verify stage ~4x with identical output
-    lev = F.when(
-        F.col("_ta") == F.col("_tb"), F.lit(0)
-    ).otherwise(F.levenshtein("_ta", "_tb"))
-    denom = F.greatest(F.length("_ta"), F.length("_tb"))
-    sim = F.when(denom > 0, F.lit(1.0) - lev.cast("double") / denom).otherwise(
-        F.lit(1.0)
+    if threshold is None:
+        lev = F.when(
+            F.col("_ta") == F.col("_tb"), F.lit(0)
+        ).otherwise(F.levenshtein("_ta", "_tb"))
+    else:
+        # stage the bound in its own select so the (cheap) expr isn't
+        # re-evaluated per reference inside the CASE arms
+        slack = 1.0 - threshold  # Python double; oracle inlines repr()
+        joined = joined.withColumn(
+            "_bound", F.floor(F.lit(slack) * denom).cast("int")
+        )
+        lev = (
+            F.when(F.col("_ta") == F.col("_tb"), F.lit(0))
+            .when(
+                F.abs(F.length("_ta") - F.length("_tb")) > F.col("_bound"),
+                F.lit(-1),
+            )
+            .otherwise(F.expr("levenshtein(_ta, _tb, _bound)"))
+        )
+    sim = (
+        F.when(lev < 0, F.lit(None).cast("double"))
+        .when(denom > 0, F.lit(1.0) - lev.cast("double") / denom)
+        .otherwise(F.lit(1.0))
     )
     return joined.select(
         *[c for c in pairs.columns],
@@ -1014,9 +1049,17 @@ def scrub_repeated_spans(
         .otherwise(F.array().cast("array<bigint>"))
         .alias("_sh"),
     )
+    # posexplode_OUTER, then drop the empty-array null rows explicitly:
+    # plain posexplode lets InferFiltersFromGenerate add a
+    # ``size(_sh) > 0`` filter, and predicate pushdown carries the
+    # ENTIRE md5-shingle transform below the repartition into the
+    # single-split parquet scan — the whole corpus' shingle hashing
+    # re-runs serially in ONE task, twice, as a filter (measured 3.6x
+    # on the full query). Outer explode infers nothing; the cheap
+    # isNotNull runs post-explode where it belongs.
     starts = sh.select(
-        id_col, F.posexplode("_sh").alias("_j", "_h")
-    )
+        id_col, F.posexplode_outer("_sh").alias("_j", "_h")
+    ).where(F.col("_h").isNotNull())
     repeated = (
         starts.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_cnt"))

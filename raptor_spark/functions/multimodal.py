@@ -143,11 +143,12 @@ def resize_images(media: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFra
                     or payload is None
                     or meta["width"] is None
                     or meta["height"] is None
-                    or meta["duration_ms"] is None
                 ):
                     # NULL media passes through untouched (mirrors SQL
                     # NULL propagation); computing on it would crash
-                    # the whole Arrow batch
+                    # the whole Arrow batch. duration_ms is NOT a gate
+                    # — it is only copied, never computed on, so an
+                    # image with a NULL duration still gets resized.
                     metas.append(meta)
                     payloads.append(payload)
                     continue
@@ -157,9 +158,10 @@ def resize_images(media: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFra
                 b = bytes(payload)
                 n = max(int(len(b) * scale * scale), 1)
                 payloads.append(b[:n])
+                dur = meta["duration_ms"]
                 metas.append(
                     {"width": nw, "height": nh,
-                     "duration_ms": int(meta["duration_ms"])}
+                     "duration_ms": None if dur is None else int(dur)}
                 )
             out["meta"] = metas
             out["payload"] = payloads

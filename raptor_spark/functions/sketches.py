@@ -163,6 +163,12 @@ def bloom_build(
     """
     if m_bits <= 1 or k <= 0:
         raise ValueError(f"m_bits must be > 1 and k > 0, got {m_bits}/{k}")
+    if m_bits & (m_bits - 1):
+        # The forced-odd double-hash step (2*(h2 % (m/2)) + 1) is
+        # coprime to m only when m is a power of two; any other m
+        # silently degrades the k-distinct-probe guarantee and the
+        # documented false-positive rate.
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
     staged = items.where(F.col(item_col).isNotNull()).select(
         *(c.alias(n) for c, n in zip(bloom_hashes(F.col(item_col)),
                                      ("_h1", "_h2")))

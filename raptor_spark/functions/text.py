@@ -512,16 +512,26 @@ def remove_boilerplate_segments(
             ),
         ).alias("_segarr"),
     )
+    # OUTER explodes + explicit null drop: plain (pos)explode lets
+    # InferFiltersFromGenerate add a ``size(_segarr) > 0`` filter that
+    # predicate pushdown sinks into the scan, re-running the whole
+    # segment transform serially pre-exchange (see
+    # dedup.scrub_repeated_spans for the measured 3.6x). _segarr is
+    # never empty (n_seg >= 1) so the null rows being dropped don't
+    # exist — the filter only blocks the inference.
     segs = seg_arr.select(
         id_col,
-        F.posexplode("_segarr").alias("seg_idx", "seg"),
-    )
+        F.posexplode_outer("_segarr").alias("seg_idx", "seg"),
+    ).where(F.col("seg").isNotNull())
     # distinct-docs-per-segment WITHOUT a count-distinct (which plans
     # as two exchanges): within-doc repeats collapse map-side via
     # array_distinct, so a plain count = distinct doc count and the
     # shuffle carries deduped segments only — ONE exchange
     boiler = (
-        seg_arr.select(F.explode(F.array_distinct("_segarr")).alias("seg"))
+        seg_arr.select(
+            F.explode_outer(F.array_distinct("_segarr")).alias("seg")
+        )
+        .where(F.col("seg").isNotNull())
         .groupBy("seg")
         .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") > max_docs)
@@ -570,7 +580,12 @@ def canonical_url(url: Column | str) -> Column:
     Mirrored by the DuckDB oracle (url_dedup) with the same
     decompose-filter-reassemble steps — change both together. Every
     step is a JVM regex / higher-order array op (map-only, no
-    shuffle). Returns NULL for NULL input.
+    shuffle). Returns NULL for NULL input AND for scheme-less /
+    unparseable URLs (regexp_extract yields '' on no match; folding
+    those to '' would silently merge every malformed-URL document
+    into ONE dedup group and drop all but one keeper — NULL keeps
+    them out of the URL-level dedup entirely, leaving content-level
+    passes to judge them).
     """
     u = F.col(url) if isinstance(url, str) else url
     base = F.regexp_replace(u, r"#.*$", "")
@@ -593,7 +608,9 @@ def canonical_url(url: Column | str) -> Column:
         r"^https://www\.",
         "https://",
     )
-    return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
+    return F.when(
+        u.isNull() | (scheme_host == ""), F.lit(None).cast("string")
+    ).otherwise(
         F.concat(
             head,
             F.regexp_replace(path, r"/+$", ""),

@@ -1215,7 +1215,9 @@ def q_lsh_verify(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", k=16, bands=4)
-    return verify_pairs_edit_distance(pairs, docs, "doc_id", "text")
+    return verify_pairs_edit_distance(
+        pairs, docs, "doc_id", "text", threshold=_LEV_THRESHOLD
+    )
 
 
 def q_embedding_quantize(spark, sf_dir):
@@ -2231,6 +2233,16 @@ _LEV_SIM = (
     " / greatest(length(a.norm), length(b.norm))"
 )
 
+# Similarity accept threshold for the banded-Levenshtein verify: a
+# pair passes only when lev <= floor((1-t) * max_len). The engine runs
+# Spark's 3-arg banded levenshtein; DuckDB has no banded form, so the
+# oracle computes the full DP and applies the SAME bound arithmetic —
+# identical verdicts, slower oracle (fine at sf0.01). The slack
+# (1 - t) is computed ONCE in Python and inlined with repr() so both
+# engines multiply by the bit-identical double.
+_LEV_THRESHOLD = 0.8
+_LEV_SLACK = repr(1.0 - _LEV_THRESHOLD)
+
 
 ORACLE_SQL: dict[str, str] = {
     # overlapping 6-token shingles; within-doc stutter counts toward
@@ -2344,13 +2356,16 @@ WITH urls AS (
     regexp_extract(base, '\?(.*)$', 1) AS qs
   FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS base FROM urls)
 ), canon AS (
+  -- unparseable (scheme-less) URLs canonicalize to NULL, mirroring
+  -- functions.text.canonical_url: they must NOT merge into one group
   SELECT doc_id,
+    CASE WHEN scheme_host IS NULL OR scheme_host = '' THEN NULL ELSE
     regexp_replace(regexp_replace(lower(scheme_host),
                                   '^http://', 'https://'),
                    '^https://www\.', 'https://')
     || regexp_replace(path, '/+$', '')
     || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-            ELSE '' END AS canon_url
+            ELSE '' END END AS canon_url
   FROM (
     SELECT *,
            list_filter(string_split(qs, '&'),
@@ -3027,17 +3042,29 @@ SELECT doc_id,
 FROM documents
 """,
     "profile_docs": _profile_sql(),
+    # banded-verify twin: full DP + the same floor((1-t)*max_len)
+    # bound the engine's 3-arg levenshtein enforces in-DP
     "lsh_verify": f"""
 WITH pairs AS ({_minhash_sql()}),
-d AS (SELECT doc_id, {_NORM} AS norm FROM documents)
-SELECT p.id_a, p.id_b, p.n_shared_bands,
-  levenshtein(a.norm, b.norm) AS lev,
-  CASE WHEN greatest(length(a.norm), length(b.norm)) > 0
-    THEN {sql_round6(_LEV_SIM)}
-    ELSE 1.0 END AS sim6
-FROM pairs p
-JOIN d a ON p.id_a = a.doc_id
-JOIN d b ON p.id_b = b.doc_id
+d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+j AS (
+  SELECT p.id_a, p.id_b, p.n_shared_bands,
+    CASE WHEN a.norm IS NULL OR b.norm IS NULL THEN NULL
+         WHEN levenshtein(a.norm, b.norm)
+              <= CAST(floor({_LEV_SLACK}
+                     * greatest(length(a.norm), length(b.norm))) AS INT)
+         THEN levenshtein(a.norm, b.norm) ELSE -1 END AS lev,
+    greatest(length(a.norm), length(b.norm)) AS maxlen
+  FROM pairs p
+  JOIN d a ON p.id_a = a.doc_id
+  JOIN d b ON p.id_b = b.doc_id
+)
+SELECT id_a, id_b, n_shared_bands, lev,
+  CASE WHEN lev < 0 THEN NULL
+       WHEN maxlen > 0
+         THEN {sql_round6('1.0 - CAST(lev AS DOUBLE) / maxlen')}
+       ELSE 1.0 END AS sim6
+FROM j
 """,
     "embedding_quantize": f"""
 WITH v AS (SELECT vec_id,

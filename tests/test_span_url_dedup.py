@@ -118,6 +118,17 @@ class TestCanonicalUrl:
         assert got[0] == "https://h.example"
         assert got[1] is None
 
+    def test_unparseable_urls_canonicalize_to_null(self, spark):
+        # scheme-less / malformed URLs must NOT all fold to '' (which
+        # would merge every malformed-URL doc into ONE dedup group) —
+        # they canonicalize to NULL and stay out of URL-level dedup
+        got = self._canon(spark, [
+            "not a url", "example.com/path", "//host-less/p", "",
+            "https://ok.example/p",
+        ])
+        assert got[:4] == [None, None, None, None]
+        assert got[4] == "https://ok.example/p"
+
     def test_utm_prefix_does_not_eat_other_params(self, spark):
         # 'utmost=1' is NOT a tracking param (utm_ prefix only)
         (got,) = self._canon(spark, ["https://h.example/p?utmost=1&gclid=z"])

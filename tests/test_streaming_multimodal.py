@@ -248,7 +248,7 @@ class TestMultimodal:
                 (3, "video", bytearray(b"xy" * 300), None),     # NULL meta only
                 (4, "video", None, {"width": 1, "height": 1, "duration_ms": 2500}),
                 (5, "video", bytearray(b"ok" * 300),
-                 {"width": 1, "height": 1, "duration_ms": None}),  # NULL field
+                 {"width": 100, "height": 80, "duration_ms": None}),  # NULL field
             ],
             "media_id long, media_type string, payload binary, "
             "meta struct<width:int,height:int,duration_ms:int>",
@@ -258,6 +258,9 @@ class TestMultimodal:
         assert rows[1]["meta"]["width"] <= 32       # real row still resized
         assert rows[2]["payload"] is None and rows[2]["meta"] is None
         assert rows[3]["meta"] is None              # passed through untouched
+        # duration_ms is copied, never computed on: a NULL duration must
+        # NOT exempt a large image from resizing (ADVICE r4)
+        assert rows[5]["meta"]["width"] <= 32
         assert rows[5]["meta"]["duration_ms"] is None
         frames = sample_frames(media, every_ms=1000).collect()
         assert frames == []                         # no decodable video rows
