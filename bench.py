@@ -95,6 +95,7 @@ HEADLINE = [
     "repeated_span_scrub",  # exact repeated-substring scrub (Lee et al.)
     "url_dedup",            # URL-canonicalization dedup (CCNet first pass)
     "bloom_dedup",          # mergeable Bloom membership (vs ground truth)
+    "bucket_merge_dedup",   # J6/S8 cleanup-MERGE (dead flush beats alive)
 ]
 
 
@@ -195,12 +196,18 @@ def main() -> None:
         # Drift check: re-time the flagship AFTER the full pass. If the
         # machine slowed mid-run (driver-box contention inflated the r4
         # record 2-4x), last/first > 1.5 flags the run as contended so a
-        # bad wall-clock isn't mistaken for a code regression.
+        # bad wall-clock isn't mistaken for a code regression. Min of 2
+        # re-times: a single post-pass measurement also absorbs GC of
+        # the 70-query pass's garbage (the r3 mid-list-inflation
+        # lesson) and would false-positive on an idle box.
         drift = None
         if "backfill_wide" in times and times["backfill_wide"] > 0:
-            t0 = time.perf_counter()
-            _force(QUERIES["backfill_wide"](spark, sf_dir))
-            drift = round((time.perf_counter() - t0) / times["backfill_wide"], 2)
+            redo = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(QUERIES["backfill_wide"](spark, sf_dir))
+                redo.append(time.perf_counter() - t0)
+            drift = round(min(redo) / times["backfill_wide"], 2)
         n_ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         thr = round(n_ev / times["backfill_wide"], 1) if "backfill_wide" in times else None
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))

@@ -13,18 +13,31 @@ from raptor_spark.queries import QUERIES, ORACLE_SQL
 
 DRIVER_WINDOW = 50
 
-# Queries the driver had never hash-checked before round 4 (outside the
-# r3 window; VERDICT r3 "Next round" item 2). They must sit inside the
-# window until a CORRECTNESS_r{N}.json shows them green.
-NEVER_CHECKED_BEFORE_R4 = {
-    "knn_cosine", "embedding_neardup", "semantic_dedup", "ann_lsh",
-    "ann_ivf", "ann_ivf_kmeans", "split_assign", "profile_docs",
-    "lsh_verify", "embedding_quantize", "embedding_project",
-    "conv_rollup", "unigram_logprob", "bm25_search", "pricing_summary",
-    "revenue_by_nation", "topk_orders_per_cust", "shipping_priority",
-    "cust_without_orders",
-    # round-4 additions — never driver-checked until CORRECTNESS_r04
-    "repeated_span_scrub", "url_dedup", "bloom_dedup",
+# Queries the driver has never hash-checked (no CORRECTNESS_r{N} green
+# row yet). They MUST sit inside the window until one shows them green.
+NEVER_CHECKED = {
+    "bucket_merge_dedup",  # added round 5
+}
+
+# Last driver-green in CORRECTNESS_r03 (rotated out for round 4, aged
+# two rounds) — the round-5 rotation brings them back in so no query's
+# most recent driver-green row ages past 2 rounds (VERDICT r4 item 5).
+LAST_GREEN_R3 = {
+    "pit_asof_join", "two_phase_1h_10m", "salted_user_stats",
+    "window_count_1h", "window_multi_24h", "window_distinct_6h",
+    "lag_lead", "keep_previous_age_guard", "sessionize_30m",
+    "session_stats_30m", "valid_till_1h", "latest_per_key",
+    "dedup_exact", "text_stats", "lang_id", "minhash_lsh",
+    "ngram_jaccard", "dup_clusters", "simhash_dedup", "token_freq",
+    "domain_stats", "repetition",
+}
+
+# Plans materially changed in round 5 — their r4 green rows describe
+# old code, so they must be re-checked this round.
+CHANGED_IN_R5 = {
+    "profile_docs", "lsh_verify", "repeated_span_scrub",
+    "boilerplate_scrub", "url_dedup", "ann_ivf_kmeans",
+    "store_read_pit", "bloom_dedup",
 }
 
 # rows-only by design (accuracy gated by the companion hll_accuracy row)
@@ -33,11 +46,16 @@ NO_ORACLE_OK = {"window_approx_distinct_6h"}
 
 def test_never_checked_queries_inside_driver_window():
     window = set(list(QUERIES)[:DRIVER_WINDOW])
-    missing = NEVER_CHECKED_BEFORE_R4 - window
-    assert not missing, (
-        f"never-driver-checked queries outside the first {DRIVER_WINDOW} "
-        f"registration slots: {sorted(missing)}"
-    )
+    for group, names in (
+        ("never-driver-checked", NEVER_CHECKED),
+        ("aged-2-rounds (last green r3)", LAST_GREEN_R3),
+        ("changed-in-r5", CHANGED_IN_R5),
+    ):
+        missing = names - window
+        assert not missing, (
+            f"{group} queries outside the first {DRIVER_WINDOW} "
+            f"registration slots: {sorted(missing)}"
+        )
 
 
 def test_every_query_has_oracle_or_is_pinned_rows_only():

@@ -178,9 +178,11 @@ def test_auto_n_planes_sizing(spark):
 
 def test_kmeans_sample_training(spark, emb):
     """sample_n: bounded deterministic training sample. A sample
-    covering the whole corpus reproduces full-corpus training exactly;
-    a smaller sample still yields k well-formed centroids,
-    deterministically."""
+    covering the whole corpus reproduces full-corpus training exactly
+    — since the sampled path runs Lloyd driver-LOCAL in Python, this
+    equality also pins the Python float-op replay bit-for-bit against
+    the distributed Spark expressions. A smaller sample still yields
+    k well-formed centroids, deterministically."""
     from raptor_spark.functions.similarity import kmeans_fit
 
     full = kmeans_fit(emb, dim=DIM, k=4, iters=1)
@@ -191,3 +193,23 @@ def test_kmeans_sample_training(spark, emb):
     assert samp == kmeans_fit(emb, dim=DIM, k=4, iters=1, sample_n=100)
     with pytest.raises(ValueError, match="sample_n"):
         kmeans_fit(emb, dim=DIM, k=8, iters=1, sample_n=4)
+
+
+def test_kmeans_local_vs_distributed_edge_cases(spark):
+    """Zero vectors (cosine guard -> 0.0, lowest-cid tie) and exact
+    duplicate rows must produce identical centroids on the driver-local
+    sampled path and the distributed path."""
+    from raptor_spark.functions.similarity import kmeans_fit
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),          # zero vector: all-cos 0 tie
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),          # exact duplicate
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-0.5, 0.25, 0.125, -1.0]),
+        (5, [0.3, 0.3, 0.3, 0.3]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dist = kmeans_fit(df, dim=4, k=2, iters=2)
+    local = kmeans_fit(df, dim=4, k=2, iters=2, sample_n=6)
+    assert local == dist

@@ -312,6 +312,25 @@ NOTES = {
         "query vector rides a broadcast cross join, and the bm25 max "
         "/ final rank are windows over the bounded candidate frame."
     ),
+    "bucket_merge_dedup": (
+        "Cleanup-MERGE semantics (J6/S8): alive + dead flush streams "
+        "union, then ONE window keyed (fqn, keys, bucket) keeps the "
+        "final (dead) flush, highest flush_seq among alive-only "
+        "buckets. Rows per window partition are bounded by the flush "
+        "multiplicity of one bucket; the exchange carries the flush "
+        "stream, never source data."
+    ),
+    "profile_docs": (
+        "Per-column corpus audit with ZERO Expand (the "
+        "multi-countDistinct shape that multiplies every corpus row "
+        "by n_cols is gone): non-distinct metrics ride ONE wide "
+        "map-side-combined aggregate; exact cardinalities come from "
+        "a stacked (col_name, value) single-countDistinct — Catalyst "
+        "rewrites the lone distinct into two-phase partial-distinct, "
+        "so only unique pairs shuffle; the 5-row result broadcasts "
+        "back. exact_distinct=False drops the second pass entirely "
+        "(approx_count_distinct in the wide agg)."
+    ),
 }
 
 
@@ -394,6 +413,7 @@ def audit(name: str, df) -> dict:
     n_bcast = len(re.findall(r"\bBroadcastExchange", plan))
     unbounded, limit_fed = partitionless_windows(plan)
     n_codegen = len(re.findall(r"\*\(\d+\)", plan))
+    n_expand = len(re.findall(r"\bExpand\b", plan))
     scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     return {
@@ -402,6 +422,7 @@ def audit(name: str, df) -> dict:
         "unbounded_global_windows": unbounded,
         "limit_fed_global_windows": limit_fed,
         "codegen_stages": n_codegen,
+        "expands": n_expand,
         "pushed_filters": [s for s in scans if s][:3],
         "read_cols": [len(s.split(",")) for s in read_schemas],
     }
@@ -416,8 +437,8 @@ def main() -> None:
         "SHAPE is scale-invariant). Shuffle = `Exchange hashpartitioning`;",
         "single-partition windows (the scale-killer pattern) are flagged.",
         "",
-        "| query | shuffles | broadcasts | 1-part window | scan cols |",
-        "|---|---|---|---|---|",
+        "| query | shuffles | broadcasts | expands | 1-part window | scan cols |",
+        "|---|---|---|---|---|---|",
     ]
     notes = []
     for name in NOTES:
@@ -435,8 +456,9 @@ def main() -> None:
             flag = "bounded (limit-fed)"
         else:
             flag = "no"
+        exp = f"**{a['expands']}**" if a["expands"] else "0"
         lines.append(
-            f"| {name} | {a['shuffles']} | {a['broadcasts']} | "
+            f"| {name} | {a['shuffles']} | {a['broadcasts']} | {exp} | "
             f"{flag} | {a['read_cols']} |"
         )
         notes.append(f"\n## {name}\n\n{NOTES[name]}\n")
