@@ -131,10 +131,15 @@ def build_line(
         "sf": sf,
         "backfill_turns_per_sec": thr,
         "cpus": cpus,
-        # end-of-run flagship re-time / initial best; > 1.5 means the
-        # machine slowed mid-run (contended box, not a code regression)
+        # end-of-run flagship re-time / initial best. > 1.5: the machine
+        # slowed mid-run. < 1/1.5: the machine was contended DURING the
+        # timed pass and idle after (the r4 scenario) — the recorded
+        # times are inflated. Either way: contended box, not a code
+        # regression.
         "drift_check": drift,
-        "contended": bool(drift is not None and drift > 1.5),
+        "contended": bool(
+            drift is not None and (drift > 1.5 or drift < 1 / 1.5)
+        ),
         "detail": "BENCH/last_run.json",
     }
     line = json.dumps(out, separators=(",", ":"))
@@ -160,15 +165,27 @@ def main() -> None:
 
     spark = get_spark(app="raptor_spark_bench")
     try:
-        # JVM/codegen warmup on the tiny sf so first-query time is real work.
+        # JVM/codegen warmup on the tiny sf so first-query time is real
+        # work. The flagship is warmed THROUGH _force (its timed path)
+        # so its whole-stage codegen is compiled before the timed reps
+        # — otherwise the post-pass drift re-time compares a warm run
+        # against a cold-compile first pass and false-positives the
+        # contended flag low.
         QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001").count()
-        # Pre-warm the benchmark input itself (page cache + parquet footer
-        # reads) so the first timed query isn't paying cold-disk cost —
-        # the r4 driver run was inflated 2-4x by machine contention and a
-        # cold cache amplifies that.
+        if "backfill_wide" in names:
+            _force(QUERIES["backfill_wide"](spark, "/root/testdata/sf0.001"))
+        # Pre-warm the benchmark input itself into the OS page cache so
+        # the first timed query isn't paying cold-disk cost — the r4
+        # driver run was inflated 2-4x by machine contention and a cold
+        # cache amplifies that. NOTE: spark.read.parquet(p).count() does
+        # NOT warm data pages (the vectorized reader answers count()
+        # from row-group metadata without touching column chunks); a raw
+        # byte read is the only guaranteed full warm.
         import glob as _glob
         for p in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
-            spark.read.parquet(p).count()
+            with open(p, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
 
         reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
         flagship_reps = max(reps, int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPS", "3")))
@@ -192,11 +209,13 @@ def main() -> None:
             # isolated runs; rerun a query alone before calling a
             # full-pass number a regression.
 
-        total = round(sum(times.values()), 3)
         # Drift check: re-time the flagship AFTER the full pass. If the
         # machine slowed mid-run (driver-box contention inflated the r4
-        # record 2-4x), last/first > 1.5 flags the run as contended so a
-        # bad wall-clock isn't mistaken for a code regression. Min of 2
+        # record 2-4x), last/first > 1.5 flags the run as contended;
+        # last/first < 1/1.5 means the box was contended during the
+        # TIMED pass and idle after — also flagged, and the post-pass
+        # min is folded into the flagship time (min over all 5 reps) so
+        # start-of-run contention can't inflate the headline. Min of 2
         # re-times: a single post-pass measurement also absorbs GC of
         # the 70-query pass's garbage (the r3 mid-list-inflation
         # lesson) and would false-positive on an idle box.
@@ -208,6 +227,10 @@ def main() -> None:
                 _force(QUERIES["backfill_wide"](spark, sf_dir))
                 redo.append(time.perf_counter() - t0)
             drift = round(min(redo) / times["backfill_wide"], 2)
+            times["backfill_wide"] = round(
+                min(times["backfill_wide"], min(redo)), 3
+            )
+        total = round(sum(times.values()), 3)
         n_ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         thr = round(n_ev / times["backfill_wide"], 1) if "backfill_wide" in times else None
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))

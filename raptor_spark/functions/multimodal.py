@@ -274,21 +274,14 @@ def resize_images(media: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFra
             metas = []
             payloads = []
             for meta, payload in zip(pdf["meta"], pdf["payload"]):
-                if (
-                    meta is None
-                    or payload is None
-                    or meta["width"] is None
-                    or meta["height"] is None
-                ):
-                    # NULL media passes through untouched (mirrors SQL
-                    # NULL propagation); computing on it would crash
-                    # the whole Arrow batch. duration_ms is NOT a gate
-                    # — it is only copied, never computed on, so an
-                    # image with a NULL duration still gets resized.
+                if payload is None:
+                    # NULL payload passes through untouched (mirrors
+                    # SQL NULL propagation); computing on it would
+                    # crash the whole Arrow batch.
                     metas.append(meta)
                     payloads.append(payload)
                     continue
-                dur = meta["duration_ms"]
+                dur = None if meta is None else meta["duration_ms"]
                 dur = None if dur is None else int(dur)
                 b = bytes(payload)
                 decoded = None
@@ -307,6 +300,19 @@ def resize_images(media: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFra
                     metas.append(
                         {"width": nw, "height": nh, "duration_ms": dur}
                     )
+                    continue
+                if (
+                    meta is None
+                    or meta["width"] is None
+                    or meta["height"] is None
+                ):
+                    # only the STAND-IN branch reads meta dims (the BMP
+                    # branch above trusts the pixels, so a decodable
+                    # payload with NULL meta still resizes); without
+                    # them the row passes through. duration_ms is never
+                    # a gate — it is copied, not computed on.
+                    metas.append(meta)
+                    payloads.append(payload)
                     continue
                 w, h = int(meta["width"]), int(meta["height"])
                 scale = min(max_w / max(w, 1), max_h / max(h, 1), 1.0)
@@ -385,11 +391,13 @@ def bmp_pixel_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 ids.append(mid)
                 dec = None
-                if payload is not None and bytes(payload)[:2] == b"BM":
-                    try:
-                        dec = decode_bmp(bytes(payload))
-                    except ValueError:
-                        dec = None
+                if payload is not None:
+                    b = bytes(payload)  # materialize the buffer ONCE
+                    if b[:2] == b"BM":
+                        try:
+                            dec = decode_bmp(b)
+                        except ValueError:
+                            dec = None
                 if dec is None:
                     ws.append(None); hs.append(None)
                     rs.append(None); gs.append(None); bs.append(None)

@@ -27,6 +27,10 @@ doubles differently (int/string/date columns round-trip exactly; the
 driver query sticks to those). Exact cardinality counts distinct
 STRINGIFIED values: injective for int/string/date/double columns
 (Spark's shortest-repr double formatting), the types a profile audits.
+Injectivity alone is not enough for float/double — native
+COUNT(DISTINCT) is COARSER at ±0.0 (engines normalize -0.0 == 0.0 in
+agg keys while the string reprs differ), so float/double values are
+normalized with IEEE ``x + 0.0`` before the cast.
 
 No reference analog — training-pipeline extension per the brief.
 """
@@ -87,13 +91,27 @@ def profile_columns(
     # distinct into two-phase partial-distinct (map-side dedup, shuffle
     # of unique pairs only). 5-row result broadcasts back onto the
     # unpivoted frame.
+    # Negative zero: native COUNT(DISTINCT) normalizes -0.0 == 0.0 in
+    # aggregation keys (both engines), but CAST AS STRING yields the
+    # distinct reprs '-0.0' vs '0.0'. IEEE x + 0.0 maps -0.0 -> +0.0
+    # and is exact for every other value (incl. NaN/inf), so adding
+    # positive zero before the cast restores native-distinct semantics
+    # for float/double columns.
+    dtypes = dict(df.dtypes)
+
+    def _sval(c: str):
+        col = F.col(c)
+        if dtypes.get(c) in ("float", "double"):
+            col = col + F.lit(0.0).cast(dtypes[c])
+        return col.cast("string")
+
     stacked = df.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("col_name"),
-                        F.col(c).cast("string").alias("val"),
+                        _sval(c).alias("val"),
                     )
                     for c in cols
                 ]

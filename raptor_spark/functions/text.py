@@ -583,9 +583,11 @@ def canonical_url(url: Column | str) -> Column:
     shuffle). Returns NULL for NULL input AND for scheme-less /
     unparseable URLs (regexp_extract yields '' on no match; folding
     those to '' would silently merge every malformed-URL document
-    into ONE dedup group and drop all but one keeper — NULL keeps
-    them out of the URL-level dedup entirely, leaving content-level
-    passes to judge them).
+    into ONE dedup group and drop all but one keeper). NULL alone is
+    NOT sufficient — GROUP BY merges NULLs into one group too — so
+    dedup consumers MUST pair this with ``canon_url IS NOT NULL``
+    (q_url_dedup does), leaving content-level passes to judge
+    malformed-URL docs.
     """
     u = F.col(url) if isinstance(url, str) else url
     base = F.regexp_replace(u, r"#.*$", "")

@@ -1205,10 +1205,14 @@ def q_split_assign(spark, sf_dir):
 
 
 def q_profile_docs(spark, sf_dir):
-    """One-pass per-column corpus profile (null rate, exact
-    cardinality, min/max, avg stringified length) in long format — the
-    pre-admission data audit. ONE scan, one aggregate row, unpivoted
-    driver-side into 5 rows."""
+    """Per-column corpus profile (null rate, exact cardinality,
+    min/max, avg stringified length) in long format — the
+    pre-admission data audit. Two Expand-free passes: the non-distinct
+    metrics ride ONE wide aggregate row (unpivoted into 5 rows); exact
+    cardinalities come from a second stacked (col_name, value) scan
+    with a single two-phase countDistinct (unique pairs shuffle). For
+    a 100 TB audit where estimates suffice, ``exact_distinct=False``
+    drops the second pass entirely (HLL++ in the one wide agg)."""
     from .functions.profile import profile_columns
 
     docs = _t(spark, sf_dir, "documents")
@@ -1531,8 +1535,14 @@ def q_url_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", canonical_url(url).alias("canon_url")
     )
+    # canonical_url maps unparseable/scheme-less URLs to NULL; GROUP BY
+    # would still merge every NULL into ONE group (one keeper, rest
+    # dropped) — the exact disaster NULL was meant to prevent — so the
+    # dedup EXCLUDES them explicitly. The synthetic corpus has no such
+    # rows (row counts unchanged); the filter is the consumer contract.
     return (
-        docs.groupBy("canon_url")
+        docs.where(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).alias("n_dups"),
@@ -1622,7 +1632,10 @@ def q_bucket_merge_dedup(spark, sf_dir):
     )
     return out.select(
         "fqn", "keys", "bucket", "bucket_active", "flush_seq",
-        F.round("val", 6).alias("val6"),
+        # round6/sql_round6, not F.round/round(): the engines' native
+        # rounds disagree near 6-dp half boundaries (HALF_UP on the
+        # exact binary expansion vs double-space scaling)
+        round6("val").alias("val6"),
     )
 
 
@@ -2329,7 +2342,7 @@ dead AS (
   FROM base WHERE bucket % 3 <> 0 GROUP BY fqn, keys, bucket),
 fv AS (SELECT * FROM alive UNION ALL SELECT * FROM dead)
 SELECT fqn, keys, bucket, bucket_active, flush_seq,
-       round(val, 6) AS val6
+       floor((val) * 1000000 + 0.5) / 1000000 AS val6
 FROM fv
 QUALIFY row_number() OVER (
   PARTITION BY fqn, keys, bucket
@@ -2465,7 +2478,7 @@ WITH urls AS (
   )
 )
 SELECT canon_url, min(doc_id) AS keeper_doc_id, count(*) AS n_dups
-FROM canon GROUP BY canon_url
+FROM canon WHERE canon_url IS NOT NULL GROUP BY canon_url
 """,
     "pit_asof_join": """
 WITH spine AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -108,3 +108,31 @@ class TestSparkWiring:
         )
         rows = {r["media_id"]: r for r in bmp_pixel_features(df).collect()}
         assert rows[1]["mean_r"] is None and rows[2]["width"] is None
+
+
+    def test_bmp_with_null_meta_dims_still_resizes(self, spark):
+        """A decodable BMP payload with NULL meta width/height must take
+        the real-resample branch (it trusts the pixels, never meta) —
+        only the stand-in branch is gated on meta dims."""
+        from pyspark.sql import functions as F
+
+        media = synthesize_bmp_media(spark.range(20, 22), "id").select(
+            "media_id",
+            "media_type",
+            "payload",
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        )
+        src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+        out = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+        assert len(out) == 2
+        for mid, row in out.items():
+            w0, h0, rgb0 = decode_bmp(src[mid])
+            w1, h1, rgb1 = decode_bmp(bytes(row["payload"]))
+            assert w1 <= 8 and h1 <= 8
+            assert (row["meta"]["width"], row["meta"]["height"]) == (w1, h1)
+            if (w1, h1) != (w0, h0):
+                assert rgb1 == resize_rgb_nearest(rgb0, w0, h0, w1, h1)

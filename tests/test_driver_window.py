@@ -86,3 +86,15 @@ def test_bench_printed_line_budget():
     assert parsed["value"] == 99999.999
     assert parsed["backfill_turns_per_sec"] == 9999999.9
     assert parsed["queries"]  # at least the slowest entries survive
+
+
+def test_bench_contended_flag_two_sided():
+    """Contention is flagged in BOTH directions: post-pass flagship
+    re-time much slower (box slowed mid-run) OR much faster (box was
+    contended during the timed pass — the r4 driver scenario)."""
+    import bench
+
+    times = {"backfill_wide": 1.0}
+    for drift, want in ((2.0, True), (0.5, True), (1.0, False), (None, False)):
+        line = bench.build_line(dict(times), 1.0, "0.1", 1000.0, 32, drift)
+        assert json.loads(line)["contended"] is want, drift

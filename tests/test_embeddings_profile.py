@@ -159,3 +159,12 @@ def test_unigram_logprob_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange SinglePartition") == 1
     assert "partial_sum" in plan  # total is map-side combined
+
+
+def test_profile_columns_negative_zero_double(spark):
+    """Native COUNT(DISTINCT) normalizes -0.0 == 0.0; the stacked
+    stringified-distinct pass must agree (IEEE x + 0.0 normalization),
+    not report 2 for {'0.0', '-0.0'}."""
+    df = spark.createDataFrame([(0.0,), (-0.0,), (1.5,)], "v double")
+    prof = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert prof["v"]["n_distinct"] == 2  # {0.0, 1.5}

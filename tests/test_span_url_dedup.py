@@ -133,3 +133,22 @@ class TestCanonicalUrl:
         # 'utmost=1' is NOT a tracking param (utm_ prefix only)
         (got,) = self._canon(spark, ["https://h.example/p?utmost=1&gclid=z"])
         assert got == "https://h.example/p?utmost=1"
+
+
+    def test_malformed_urls_excluded_from_dedup(self, spark):
+        """NULL canon keys must NOT merge into one keeper group: the
+        dedup consumer contract is canonical_url(...) + IS NOT NULL."""
+        df = spark.createDataFrame(
+            [(1, "no-scheme.example/a"), (2, "also malformed"),
+             (3, "https://ok.example/x"), (4, "http://www.OK.example/x/")],
+            "doc_id long, url string",
+        )
+        out = (
+            df.select("doc_id", canonical_url("url").alias("canon_url"))
+            .where(F.col("canon_url").isNotNull())
+            .groupBy("canon_url")
+            .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n"))
+            .collect()
+        )
+        assert len(out) == 1  # the two malformed rows form NO group
+        assert out[0]["keeper"] == 3 and out[0]["n"] == 2
