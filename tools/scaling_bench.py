@@ -112,14 +112,23 @@ def main() -> None:
         transcripts(spark, n_convs=args.n_convs, partitions=64).write.parquet(input_dir)
         spark.stop()
 
-    def best(cores: int) -> dict:
-        runs = [measure(cores, input_dir, args.mode) for _ in range(args.reps)]
+    # Interleave low/high reps (L,H,L,H,...) so a machine-drift burst
+    # inflates adjacent reps on BOTH sides instead of systematically
+    # biasing whichever side happened to run during it (same lesson as
+    # tools/ab_fused.py's alternating same-JVM reps).
+    lo_runs: list = []
+    hi_runs: list = []
+    for _ in range(args.reps):
+        lo_runs.append(measure(args.low, input_dir, args.mode))
+        hi_runs.append(measure(args.high, input_dir, args.mode))
+
+    def best(runs: list) -> dict:
         b = min(runs, key=lambda r: r["wall_s"])
         b["all_walls"] = [r["wall_s"] for r in runs]
         return b
 
-    lo = best(args.low)
-    hi = best(args.high)
+    lo = best(lo_runs)
+    hi = best(hi_runs)
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (args.high / args.low)
     result = {
         "metric": "backfill scaling efficiency (localN as executor stand-in)",
