@@ -1025,10 +1025,19 @@ def q_domain_stats(spark, sf_dir):
         quality_score("text").alias("q"),
         F.explode(extract_domains("text")).alias("domain"),
     )
+    # avg over computed DOUBLES is summation-ORDER-dependent (Spark
+    # sums partitions in arbitrary order, DuckDB sequentially) — 1-ulp
+    # sum drift crossed a .5e-6 round6 boundary at sf0.1. quality_score
+    # is round6-valued, so recover its exact 1e-6 integer grid per row
+    # and sum integers (order-independent; decimal(38,0) headroom for
+    # 1e12-row domains), dividing once at the end (mirrored op order).
+    qi = F.floor(F.col("q") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
     return ex.groupBy("domain").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_urls"),
-        round6(F.avg("q")).alias("avg_quality"),
+        round6(
+            F.sum(qi).cast("double") / F.lit(1e6) / F.count(F.lit(1))
+        ).alias("avg_quality"),
     )
 
 
@@ -3036,7 +3045,8 @@ ex AS (
 SELECT domain,
   count(DISTINCT doc_id) AS n_docs,
   count(*) AS n_urls,
-  floor(avg(q) * 1000000 + 0.5) / 1000000 AS avg_quality
+  floor((CAST(sum(CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / count(*)) * 1000000 + 0.5) / 1000000 AS avg_quality
 FROM ex
 GROUP BY domain
 """,
