@@ -112,3 +112,21 @@ class TestProperties:
                      & (pdf2["bucket"] <= b)]
             assert row["count"] == pytest.approx(float(len(m)))
             assert row["sum"] == pytest.approx(float(m["v"].sum()))
+
+
+@settings(max_examples=500, deadline=None)
+@given(x=st.floats(min_value=-1e6, max_value=1e6,
+                   allow_nan=False, allow_infinity=False))
+def test_round6_grid_recovery_lossless(x):
+    """The 1e-6 integer grid index is losslessly recoverable from a
+    published round6 value: floor(q*1e6 + 0.5) == floor(x*1e6 + 0.5)
+    for q = round6(x). domain_stats' order-independent avg (exact
+    integer sums of recovered grid indices) relies on this — the
+    recovery error is ~|m|*2e-16 ≪ 0.5 across the whole range, so the
+    half-up floor always lands back on m. Pure IEEE-double ops,
+    identical to the Spark round6 / DuckDB sql_round6 sequence."""
+    import math
+
+    m = math.floor(x * 1e6 + 0.5)
+    q = m / 1e6  # the double both engines publish
+    assert math.floor(q * 1e6 + 0.5) == m
