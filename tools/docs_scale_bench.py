@@ -218,6 +218,102 @@ def main() -> None:
                 d, embs, ["spark", "window", "vector"], query_vec_id=7, k=10
             )
 
+        def _span_scrub(d):
+            # organic repeats only (no injected spans — throughput, not
+            # parity): one shingle-hash shuffle + per-doc regroup
+            from raptor_spark.functions.dedup import scrub_repeated_spans
+
+            return scrub_repeated_spans(
+                d.select("doc_id", "text"), k=6, min_count=2
+            )
+
+        def _url_dedup(d):
+            # same synthetic URL surface-variant scheme as the driver
+            # query (corpus has no organic URLs); map-only canon + ONE
+            # count aggregate
+            from raptor_spark.functions.text import canonical_url
+
+            did = F.col("doc_id")
+            g = (did % 23).cast("string")
+            pg = (did % 5).cast("string")
+            url = (
+                F.when(did % 4 == 0, F.concat(
+                    F.lit("https://WWW.Site"), g, F.lit(".example/Page"),
+                    pg, F.lit("/")))
+                .when(did % 4 == 1, F.concat(
+                    F.lit("https://site"), g, F.lit(".example/Page"), pg,
+                    F.lit("?utm_source=x&utm_medium=m")))
+                .when(did % 4 == 2, F.concat(
+                    F.lit("https://site"), g, F.lit(".example/Page"), pg,
+                    F.lit("#frag")))
+                .otherwise(F.concat(
+                    F.lit("http://site"), g, F.lit(".example/Page"), pg,
+                    F.lit("?gclid=z&utm_term=t")))
+            )
+            return (
+                d.select("doc_id", canonical_url(url).alias("canon_url"))
+                .where(F.col("canon_url").isNotNull())
+                .groupBy("canon_url")
+                .agg(F.min("doc_id").alias("keeper_doc_id"),
+                     F.count(F.lit(1)).alias("n_dups"))
+            )
+
+        def _bloom(d):
+            # m sized for the 40x corpus (driver query's 8192 bits
+            # would saturate at 180k keys): 2^22 bits / 180k keys
+            # ~= 23 bits/key, k=5 -> ~1e-4 fp; build stays ONE bit_or
+            # aggregate of <= m/63 = 66k words
+            from raptor_spark.functions.sketches import (
+                bloom_build, bloom_probe,
+            )
+
+            docs = d.where(F.col("text").isNotNull()).select(
+                "doc_id", fingerprint("text").alias("fp")
+            )
+            corpus = docs.where(F.col("doc_id") % 10 != 0)
+            batch = docs.where(F.col("doc_id") % 10 == 0)
+            bloom = bloom_build(corpus, "fp", m_bits=1 << 22, k=5)
+            return bloom_probe(bloom, batch, "fp", m_bits=1 << 22, k=5)
+
+        def _media_feats(d):
+            from raptor_spark.functions.multimodal import (
+                extract_features, synthesize_media,
+            )
+
+            return extract_features(synthesize_media(d, "doc_id"), dim=8)
+
+        def _bmp_resize(d):
+            # REAL pixels end-to-end at scale: encode 200k valid 24-bit
+            # BMPs, decode + nearest-neighbor resample + re-encode, then
+            # decode again for per-channel means (no stand-in anywhere)
+            from raptor_spark.functions.multimodal import (
+                bmp_pixel_features, resize_images, synthesize_bmp_media,
+            )
+
+            media = synthesize_bmp_media(d, "doc_id")
+            return bmp_pixel_features(resize_images(media, 8, 8))
+
+        def _semantic(d):
+            # deterministic 16-dim vectors from doc_id (the real
+            # embeddings table is 40x-cloned at this mult -> degenerate
+            # cliques); measures LSH blocking + bucket pairing + CC at
+            # 200k genuinely-distributed vectors, auto-sized planes
+            from raptor_spark.functions.similarity import (
+                semantic_dedup_corpus,
+            )
+
+            embs = d.select(
+                F.col("doc_id").alias("vec_id"),
+                F.array(*[
+                    (F.pmod(F.xxhash64(F.col("doc_id") + F.lit(j)), 1000)
+                     / 500.0 - 1.0).cast("float")
+                    for j in range(16)
+                ]).alias("embedding"),
+            )
+            return semantic_dedup_corpus(
+                embs, dim=16, threshold=0.9, n_planes=None, max_bucket=200
+            )
+
         OPS = {
             "exact_dedup": lambda d: exact_dedup(d, "doc_id"),
             "pack_sequences": pack,
@@ -240,6 +336,12 @@ def main() -> None:
             "quality_classifier": _quality_classifier,
             "domain_cap": _domain_cap,
             "hybrid_search": _hybrid,
+            "repeated_span_scrub": _span_scrub,
+            "url_dedup": _url_dedup,
+            "bloom_dedup": _bloom,
+            "media_features": _media_feats,
+            "bmp_decode_resize": _bmp_resize,
+            "semantic_dedup": _semantic,
         }
 
         def force(out):
