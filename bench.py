@@ -32,6 +32,7 @@ HEADLINE = [
     "api_backfill",         # decorator API + handler AST compile
     "kp_filtered",          # fused filtered keep_previous (lag ignore nulls)
     "store_read_pit",       # production read: materialize + store as-of
+    "rest_enrich",          # S5 REST enrichment (file:// fetch + broadcast)
     "online_serve",         # online-store latest+staleness serving
     "hetero_keys",          # two key families, per-family as-of passes
     "pit_asof_join",        # J1 single-feature as-of

@@ -1655,8 +1655,51 @@ def q_bucket_merge_dedup(spark, sf_dir):
 # family fill the rest of the window, (3) long-stable rows (driver-green
 # in r2 AND r3, pinned by tools/check_oracles.py exact mode + pytest)
 # rotate to the tail. New queries go in group (1).
+# per-process registry of materialized file:// REST fixtures (same
+# caching contract as _STORE_BUILT): reps reuse, fresh processes rebuild
+_REST_FIXTURE_BUILT: set[str] = set()
+
+
+def q_rest_enrich(spark, sf_dir):
+    """S5 REST enrichment source, exercised for REAL over file:// URLs
+    (reference: internal/plugins/builders/rest/rest.go:41-66 — per-key
+    templated fetch through a retrying cached client; no aggregation).
+    A JSON document per nation key is served from a /tmp fixture whose
+    content derives from the nation table, so the DuckDB oracle can
+    recompute the enrichment relationally — the fetch+parse+broadcast
+    path is the thing under test. Plan shape: ONE distinct over the 25
+    keys bounds the fetch; the 15k-row customer spine is never
+    shuffled (broadcast join back)."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    from .sources.rest import RestSourceConfig, rest_enrich
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/rest_fixture_{tag}"
+    if root not in _REST_FIXTURE_BUILT:
+        _os.makedirs(root, exist_ok=True)
+        for r in _t(spark, sf_dir, "nation").collect():  # 25 rows
+            with open(f"{root}/{r['n_nationkey']}.json", "w") as f:
+                _json.dump(
+                    {"nation_name": r["n_name"],
+                     "region_key": int(r["n_regionkey"])}, f)
+        _REST_FIXTURE_BUILT.add(root)
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    out = rest_enrich(
+        cust,
+        RestSourceConfig(url=f"file://{root}/{{key:c_nationkey}}.json"),
+        "nation_name string, region_key int",
+        ["c_nationkey"],
+    )
+    return out.select("c_custkey", "nation_name", "region_key")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 5 — never driver-checked --
+    "rest_enrich": q_rest_enrich,
     "bucket_merge_dedup": q_bucket_merge_dedup,
     # -- last driver-green in r3 (aged 2 rounds) — rotated back in --
     "pit_asof_join": q_pit_asof_join,
@@ -1710,8 +1753,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "revenue_by_nation": q_revenue_by_nation,
     "topk_orders_per_cust": q_topk_orders_per_cust,
-    "shipping_priority": q_shipping_priority,
     # ---------------- window boundary: position 50 ----------------
+    # shipping_priority rotated to the tail for rest_enrich (r5 late
+    # addition); its first green row is r4, aged 1 round — within policy
+    "shipping_priority": q_shipping_priority,
     # -- long-stable tail: driver-green in r4 (and most in r2/r3), --
     # -- pinned by exact-mode check_oracles + pytest every round  --
     "pricing_summary": q_pricing_summary,
@@ -2333,6 +2378,14 @@ _LEV_SLACK = repr(1.0 - _LEV_THRESHOLD)
 
 
 ORACLE_SQL: dict[str, str] = {
+    # REST enrichment twin: the file:// fixture content derives from
+    # the nation table, so the fetched-and-parsed fields must equal the
+    # relational join (fetch + from_json + broadcast is what's tested)
+    "rest_enrich": """
+SELECT c_custkey, n_name AS nation_name,
+       CAST(n_regionkey AS INT) AS region_key
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+""",
     # cleanup-MERGE dedup twin: dead (final) flush beats alive, highest
     # flush_seq among alive-only buckets — same window order both sides
     "bucket_merge_dedup": """

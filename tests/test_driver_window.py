@@ -17,6 +17,7 @@ DRIVER_WINDOW = 50
 # row yet). They MUST sit inside the window until one shows them green.
 NEVER_CHECKED = {
     "bucket_merge_dedup",  # added round 5
+    "rest_enrich",  # added round 5 (S5 REST source over file:// URLs)
 }
 
 # Last driver-green in CORRECTNESS_r03 (rotated out for round 4, aged
