@@ -301,6 +301,13 @@ def feature(
                 )
         ts_col = "ts"
         if isinstance(data_source, DataSource):
+            from .sources.rest import RestSourceConfig, reject_aggr
+
+            if isinstance(data_source.production_config, RestSourceConfig):
+                # rest.go:64-66: enrichment is a point lookup, not an
+                # event stream — windowed aggregation is rejected at
+                # definition time
+                reject_aggr(list(aggr.fns) if aggr is not None else [])
             ts_col = data_source.timestamp
             if data_source.schema:
                 unknown = [

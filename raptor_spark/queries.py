@@ -1681,10 +1681,19 @@ def q_rest_enrich(spark, sf_dir):
     if root not in _REST_FIXTURE_BUILT:
         _os.makedirs(root, exist_ok=True)
         for r in _t(spark, sf_dir, "nation").collect():  # 25 rows
-            with open(f"{root}/{r['n_nationkey']}.json", "w") as f:
+            # content is deterministic per sf_dir, so an existing file
+            # is already correct; writes go tmp+rename (atomic) so a
+            # CONCURRENT process (bench while check_oracles runs) never
+            # reads a truncated document mid-rewrite
+            path = f"{root}/{r['n_nationkey']}.json"
+            if _os.path.exists(path):
+                continue
+            tmp = f"{path}.tmp.{_os.getpid()}"
+            with open(tmp, "w") as f:
                 _json.dump(
                     {"nation_name": r["n_name"],
                      "region_key": int(r["n_regionkey"])}, f)
+            _os.replace(tmp, path)
         _REST_FIXTURE_BUILT.add(root)
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1754,8 +1763,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "topk_orders_per_cust": q_topk_orders_per_cust,
     # ---------------- window boundary: position 50 ----------------
-    # shipping_priority rotated to the tail for rest_enrich (r5 late
-    # addition); its first green row is r4, aged 1 round — within policy
+    # shipping_priority evicted by rest_enrich (r5 late addition). Its
+    # only driver-green row is r4 (aged 1 round at eviction) — NOT the
+    # "green in r2 AND r3" tail criterion; it leaves the window anyway
+    # because a never-checked query outranks a once-checked one when
+    # the window is full. Eviction order when forced: oldest-green
+    # first among once-checked rows, never a NEVER_CHECKED row.
     "shipping_priority": q_shipping_priority,
     # -- long-stable tail: driver-green in r4 (and most in r2/r3), --
     # -- pinned by exact-mode check_oracles + pytest every round  --

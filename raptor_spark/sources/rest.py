@@ -102,19 +102,33 @@ def url_expr(template: str, key_cols: list[str]) -> Column:
     return F.concat(*parts) if parts else F.lit(template)
 
 
+_RETRYABLE_STATUS = {429, 500, 502, 503, 504}
+
+
 def _http_fetch(url: str, cfg: RestSourceConfig) -> tuple[int, str]:
-    """Default fetcher: urllib with retry/backoff. Returns
-    (status, body_text); raises after cfg.retries failed attempts."""
+    """Default fetcher: urllib with retry/backoff. Retries cover
+    connection-level failures AND retryable HTTP statuses (429/5xx) —
+    the reference client is retryablehttp, which does the same. A
+    non-retryable response (2xx/3xx/4xx) IS the answer. A missing
+    file:// resource maps to 404 so error semantics match HTTP (a
+    missing enrichment document must not abort the backfill). Raises
+    only after cfg.retries connection-level failures."""
     import urllib.error
     import urllib.request
 
-    last: Exception | None = None
+    last_exc: Exception | None = None
+    last_resp: tuple[int, str] | None = None
     for attempt in range(max(1, cfg.retries)):
         try:
             if url.startswith("file:"):
                 # file scheme: method/headers/body are HTTP-only
-                with urllib.request.urlopen(url, timeout=cfg.timeout_s) as r:
-                    return 200, r.read().decode("utf-8")
+                try:
+                    with urllib.request.urlopen(url, timeout=cfg.timeout_s) as r:
+                        return 200, r.read().decode("utf-8")
+                except urllib.error.URLError as e:
+                    if isinstance(getattr(e, "reason", None), FileNotFoundError):
+                        return 404, ""  # same semantics as HTTP not-found
+                    raise
             req = urllib.request.Request(
                 url,
                 data=cfg.body.encode("utf-8") if cfg.body else None,
@@ -122,31 +136,53 @@ def _http_fetch(url: str, cfg: RestSourceConfig) -> tuple[int, str]:
                 method=cfg.method,
             )
             with urllib.request.urlopen(req, timeout=cfg.timeout_s) as r:
-                return r.status, r.read().decode("utf-8")
-        except urllib.error.HTTPError as e:  # a response IS an answer
-            return e.code, e.read().decode("utf-8", errors="replace")
+                resp = (r.status, r.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            resp = (e.code, e.read().decode("utf-8", errors="replace"))
         except Exception as e:  # connection-level: retry with backoff
-            last = e
+            last_exc = e
             if attempt + 1 < max(1, cfg.retries):
                 time.sleep(cfg.backoff_s * (2**attempt))
-    raise RuntimeError(f"REST fetch failed after {cfg.retries} attempts: {url}") from last
+            continue
+        if resp[0] not in _RETRYABLE_STATUS:
+            return resp
+        last_resp = resp  # transient server error: retry, keep last
+        if attempt + 1 < max(1, cfg.retries):
+            time.sleep(cfg.backoff_s * (2**attempt))
+    if last_resp is not None:  # persistent 5xx after retries IS an answer
+        return last_resp
+    raise RuntimeError(f"REST fetch failed after {cfg.retries} attempts: {url}") from last_exc
+
+
+def _cache_key(url: str, cfg: RestSourceConfig, fetcher) -> tuple:
+    # the response depends on the whole request shape, not the URL
+    # alone — two configs POSTing different bodies to one URL (or two
+    # different injected fetchers) must not serve each other's cached
+    # payloads
+    return (
+        url, cfg.method, cfg.body, cfg.headers,
+        getattr(fetcher, "__qualname__", repr(fetcher)),
+    )
 
 
 def _cached_fetch(
     url: str, cfg: RestSourceConfig, fetcher: Callable[[str, RestSourceConfig], tuple[int, str]]
 ) -> tuple[int, str]:
     now = time.monotonic()
-    hit = _RESPONSE_CACHE.get(url)
+    key = _cache_key(url, cfg, fetcher)
+    hit = _RESPONSE_CACHE.get(key)
     if hit is not None and now - hit[0] <= cfg.cache_ttl_s:
         return hit[1], hit[2]
     status, text = fetcher(url, cfg)
+    if status in _RETRYABLE_STATUS:
+        return status, text  # never pin a transient error for a TTL
     if len(_RESPONSE_CACHE) >= _CACHE_MAX_ENTRIES:
         # opportunistic TTL sweep, then FIFO-ish trim if still full
         for k in [k for k, v in _RESPONSE_CACHE.items() if now - v[0] > cfg.cache_ttl_s]:
             _RESPONSE_CACHE.pop(k, None)
         while len(_RESPONSE_CACHE) >= _CACHE_MAX_ENTRIES:
             _RESPONSE_CACHE.pop(next(iter(_RESPONSE_CACHE)))
-    _RESPONSE_CACHE[url] = (now, status, text)
+    _RESPONSE_CACHE[key] = (now, status, text)
     return status, text
 
 

@@ -153,3 +153,119 @@ def test_rest_enrich_plan_broadcasts_enrichment(spark, tmp_path):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_http_fetch_retries_connection_errors_n_times(monkeypatch):
+    """Driver-side: the retry loop in _http_fetch itself (injected
+    fetchers bypass it, so this is the only coverage of backoff/give-up)."""
+    import urllib.request
+
+    from raptor_spark.sources import rest as rest_mod
+
+    calls = []
+
+    def boom(*a, **kw):
+        calls.append(1)
+        raise ConnectionError("nope")
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    monkeypatch.setattr(rest_mod.time, "sleep", lambda s: None)
+    cfg = RestSourceConfig(url="http://x/", retries=3)
+    with pytest.raises(RuntimeError, match="failed after 3 attempts"):
+        rest_mod._http_fetch("http://x/1", cfg)
+    assert len(calls) == 3
+
+
+def test_http_fetch_retries_5xx_and_returns_last(monkeypatch):
+    import urllib.error
+
+    from raptor_spark.sources import rest as rest_mod
+
+    calls = []
+
+    def flaky(url, timeout=None):
+        calls.append(1)
+        raise urllib.error.HTTPError(url, 503, "busy", {}, __import__("io").BytesIO(b"over capacity"))
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlopen", flaky)
+    monkeypatch.setattr(rest_mod.time, "sleep", lambda s: None)
+    status, text = rest_mod._http_fetch("http://x/2", RestSourceConfig(url="http://x/", retries=2))
+    assert (status, text) == (503, "over capacity")
+    assert len(calls) == 2  # the 503 WAS retried
+
+
+def test_transient_status_never_cached():
+    from raptor_spark.sources import rest as rest_mod
+
+    seq = iter([(503, "busy"), (200, "ok")])
+
+    def two_step(url, cfg):
+        return next(seq)
+
+    cfg = RestSourceConfig(url="http://x/")
+    assert rest_mod._cached_fetch("http://x/3", cfg, two_step) == (503, "busy")
+    # the 503 must NOT have been pinned for the TTL — next call refetches
+    assert rest_mod._cached_fetch("http://x/3", cfg, two_step) == (200, "ok")
+
+
+def test_cache_key_includes_request_shape():
+    from raptor_spark.sources import rest as rest_mod
+
+    def fetch_a(url, cfg):
+        return 200, "A"
+
+    def fetch_b(url, cfg):
+        return 200, "B"
+
+    get = RestSourceConfig(url="http://x/", method="GET")
+    post = RestSourceConfig(url="http://x/", method="POST", body="q=1")
+    assert rest_mod._cached_fetch("http://x/4", get, fetch_a) == (200, "A")
+    # same URL, different method/body -> different cache slot
+    assert rest_mod._cached_fetch("http://x/4", post, fetch_b) == (200, "B")
+    # same URL+cfg, different fetcher -> different cache slot
+    assert rest_mod._cached_fetch("http://x/4", get, fetch_b) == (200, "B")
+
+
+def test_missing_file_maps_to_404_not_crash(spark, tmp_path):
+    """file:// and http must share error semantics: a missing
+    enrichment document is a 404 row with null fields, never a
+    job-aborting task failure."""
+    d = _fixture_dir(tmp_path, {1: {"v": 10}})  # key 2 has no file
+    spine = spark.createDataFrame([(1,), (2,)], "user_id int")
+    rows = {
+        r["user_id"]: r.asDict()
+        for r in rest_enrich(
+            spine,
+            RestSourceConfig(url=f"file://{d}/{{key:user_id}}.json"),
+            "v int",
+            ["user_id"],
+        ).collect()
+    }
+    assert rows[1]["rest_status"] == 200 and rows[1]["v"] == 10
+    assert rows[2]["rest_status"] == 404 and rows[2]["v"] is None
+
+
+def test_feature_over_rest_source_rejects_aggregation(spark):
+    from raptor_spark import api
+
+    @api.data_source(
+        training_data=None, keys="user_id", timestamp="ts",
+        production_config=RestSourceConfig(url="http://x/{key:user_id}"),
+    )
+    class Users:
+        user_id: int
+        ts: object
+        plan: str
+
+    with pytest.raises(ValueError, match="aggregation is not supported"):
+        @api.feature(keys="user_id", data_source=Users)
+        @api.aggregation(function="count", over="1h")
+        def plan_count(this_row, ctx) -> int:
+            return 1
+
+    # the plain (non-aggregated) enrichment feature still builds
+    @api.feature(keys="user_id", data_source=Users)
+    def plan_feature(this_row, ctx) -> str:
+        return this_row["plan"]
