@@ -22,6 +22,13 @@ from raptor_spark.session import get_spark  # noqa: E402
 SF = "/root/testdata/sf0.01"
 
 NOTES = {
+    "rest_enrich": (
+        "S5 REST enrichment: ONE distinct over the key columns bounds "
+        "every HTTP call (fetch fan-out = |distinct keys|, never per "
+        "spine row); the |keys|-row fetched frame broadcast-joins back, "
+        "so the spine is never shuffled for enrichment. The only "
+        "Python is the Arrow-batched fetch loop itself."
+    ),
     "backfill_wide": (
         "Fused single-pass PIT plan: every per-row expr is projected "
         "BEFORE the exchange (the shuffle carries keys + ts + small "
